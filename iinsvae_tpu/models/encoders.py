@@ -1,0 +1,182 @@
+"""Encoders: CIR -> (range_code, env_code stats).
+
+Shapes follow the reference exactly but in channels-last layout:
+
+  RangeEncoder1d (reference models.py:140-176):
+    (B, 157, 1) -pool-> (B, 128, 1) -> (B, 128, 4) -> 4x stride-2 ->
+    (B, 8, 64) -> 3x residual -> 1x1 conv -> (B, 8, 2)
+  EnvEncoder1d (reference models.py:258-298):
+    (B, 128, 1) -> (B, 128, 16) -> 2x stride-2 -> (B, 32, 64) ->
+    global avg -> 1x1 conv -> (B, 1, style_dim); split into (mu, log_sigma).
+
+The env encoder returns the concatenated stats; sampling is done by the
+caller with an explicit PRNG key (utils/prng.py) — the reference samples
+inside forward with a global RNG (models.py:288).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from iinsvae_tpu.models.layers import Conv1d, Conv2d, ResidualBlock1d, ResidualBlock2d
+from iinsvae_tpu.ops.pooling import adaptive_avg_pool1d, adaptive_avg_pool2d
+from iinsvae_tpu.ops.norms import instance_norm
+
+
+class RangeEncoder1d(nn.Module):
+    dim: int = 4
+    n_residual: int = 3
+    n_downsample: int = 4
+    out_dim: int = 2
+
+    @nn.compact
+    def __call__(self, x):  # (B, L, 1)
+        x = adaptive_avg_pool1d(x, 128)
+        x = nn.relu(instance_norm(Conv1d(self.dim, 7, padding=3, pad_mode="reflect")(x)))
+        dim = self.dim
+        for _ in range(self.n_downsample):
+            x = nn.relu(instance_norm(Conv1d(dim * 2, 4, stride=2, padding=1)(x)))
+            dim *= 2
+        for _ in range(self.n_residual):
+            x = ResidualBlock1d(dim, norm="in")(x)
+        x = nn.relu(Conv1d(self.out_dim, 1)(x))
+        return x  # (B, 128 / 2**n_downsample, out_dim)
+
+
+class RangeEncoder2d(nn.Module):
+    """2-D analogue on the square-expanded CIR (reference models.py:179-215)."""
+
+    dim: int = 4
+    n_residual: int = 3
+    n_downsample: int = 4
+    out_dim: int = 2
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, 1)
+        x = adaptive_avg_pool2d(x, 128)
+        x = nn.relu(instance_norm(Conv2d(self.dim, 7, padding=3, pad_mode="reflect")(x)))
+        dim = self.dim
+        for _ in range(self.n_downsample):
+            x = nn.relu(instance_norm(Conv2d(dim * 2, 4, stride=2, padding=1)(x)))
+            dim *= 2
+        for _ in range(self.n_residual):
+            x = ResidualBlock2d(dim, norm="in")(x)
+        x = nn.relu(Conv2d(self.out_dim, 1)(x))
+        return x  # (B, 8, 8, out_dim)
+
+
+class EnvEncoder1d(nn.Module):
+    dim: int = 16
+    n_downsample: int = 2  # extra constant-depth downsamples = n_downsample - 2
+    style_dim: int = 8
+
+    @nn.compact
+    def __call__(self, x):  # (B, L, 1)
+        x = adaptive_avg_pool1d(x, 128)
+        x = nn.relu(Conv1d(self.dim, 7, padding=3, pad_mode="reflect")(x))
+        dim = self.dim
+        for _ in range(2):
+            x = nn.relu(Conv1d(dim * 2, 4, stride=2, padding=1)(x))
+            dim *= 2
+        for _ in range(self.n_downsample - 2):
+            x = nn.relu(Conv1d(dim, 4, stride=2, padding=1)(x))
+        x = jnp.mean(x, axis=-2, keepdims=True)  # AdaptiveAvgPool1d(1)
+        cat = Conv1d(self.style_dim, 1)(x)  # (B, 1, style_dim)
+        return cat.reshape(cat.shape[0], self.style_dim)  # (B, style_dim)
+
+
+class EnvEncoder2d(nn.Module):
+    dim: int = 16
+    n_downsample: int = 2
+    style_dim: int = 8
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, 1)
+        x = adaptive_avg_pool2d(x, 128)
+        x = nn.relu(Conv2d(self.dim, 7, padding=3, pad_mode="reflect")(x))
+        dim = self.dim
+        for _ in range(2):
+            x = nn.relu(Conv2d(dim * 2, 4, stride=2, padding=1)(x))
+            dim *= 2
+        for _ in range(self.n_downsample - 2):
+            x = nn.relu(Conv2d(dim, 4, stride=2, padding=1)(x))
+        x = jnp.mean(x, axis=(-3, -2), keepdims=True)  # AdaptiveAvgPool2d(1)
+        cat = Conv2d(self.style_dim, 1)(x)  # (B, 1, 1, style_dim)
+        return cat.reshape(cat.shape[0], self.style_dim)
+
+
+def split_env_stats(cat: jnp.ndarray):
+    """cat (B, style_dim) -> (mu, log_sigma), each (B, style_dim // 2)."""
+    half = cat.shape[-1] // 2
+    return cat[..., :half], cat[..., half:]
+
+
+def env_kl(mu: jnp.ndarray, log_sigma: jnp.ndarray) -> jnp.ndarray:
+    """KL(q || N(0, I)) = 0.5 * sum(e^{2ls} + mu^2 - 1 - 2ls), batch mean
+    (reference models.py:294-298)."""
+    kl = 0.5 * jnp.sum(jnp.exp(2.0 * log_sigma) + mu**2 - 1.0 - 2.0 * log_sigma, axis=-1)
+    return jnp.mean(kl)
+
+
+def reparameterize(key: jax.Array, mu: jnp.ndarray, log_sigma: jnp.ndarray) -> jnp.ndarray:
+    """z = eps * exp(log_sigma) + mu (reference models.py:288-289)."""
+    eps = jax.random.normal(key, mu.shape, mu.dtype)
+    return eps * jnp.exp(log_sigma) + mu
+
+
+class Encoder(nn.Module):
+    """Facade matching reference models.py:32-64.
+
+    __call__(cir, sample_key) -> (range_code, env_code, env_code_rv, kl_div)
+      * cir: (B, L) raw waveform
+      * range_code: (B, 8, out_dim) [1d] or (B, 8, 8, out_dim) [2d]
+      * env_code: (B, style_dim) concatenated (mu, log_sigma) stats
+      * env_code_rv: (B, style_dim // 2) reparameterized sample (None if no key)
+      * kl_div: scalar
+    """
+
+    conv_type: int = 1
+    dim: int = 4
+    n_residual: int = 3
+    n_downsample: int = 4
+    style_dim: int = 8
+    out_dim: int = 2
+    expand: bool = False
+
+    @nn.compact
+    def __call__(self, x, sample_key: Optional[jax.Array] = None):
+        b, l = x.shape[0], x.shape[-1]
+        if self.conv_type == 1:
+            xin = x.reshape(b, l, 1)
+            range_code = RangeEncoder1d(
+                self.dim, self.n_residual, self.n_downsample, self.out_dim,
+                name="range_encoder",
+            )(xin)
+            cat = EnvEncoder1d(
+                self.dim * 4, self.n_downsample - 2, self.style_dim,
+                name="env_encoder",
+            )(xin)
+        else:
+            if self.expand:
+                # (B, L) -> (B, L, L, 1): row i of the image is x broadcast
+                # along columns (reference models.py:55).
+                xin = jnp.broadcast_to(x[:, :, None], (b, l, l))[..., None]
+            else:
+                xin = x.reshape(b, l, 1, 1)
+            range_code = RangeEncoder2d(
+                self.dim, self.n_residual, self.n_downsample, self.out_dim,
+                name="range_encoder",
+            )(xin)
+            cat = EnvEncoder2d(
+                self.dim * 4, self.n_downsample - 2, self.style_dim,
+                name="env_encoder",
+            )(xin)
+
+        mu, log_sigma = split_env_stats(cat)
+        kl = env_kl(mu, log_sigma)
+        rv = reparameterize(sample_key, mu, log_sigma) if sample_key is not None else None
+        return range_code, cat, rv, kl

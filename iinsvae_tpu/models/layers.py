@@ -1,0 +1,245 @@
+"""Core flax.linen layers shared by the model zoo.
+
+Initialisation mirrors the reference's ``weights_init_normal``
+(reference models.py:8-14): conv kernels ~ N(0, 0.02), batch-norm scale
+~ N(1, 0.02) with zero bias; everything the reference leaves untouched keeps
+torch's default U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for weights and biases.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from iinsvae_tpu.ops import conv as conv_ops
+from iinsvae_tpu.ops import norms as norm_ops
+
+
+def conv_normal_init(std: float = 0.02):
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.normal(key, shape, dtype)
+    return init
+
+
+def torch_uniform_init(fan_in_axis: str = "all_but_last"):
+    """torch default U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for weights/biases."""
+    def init(key, shape, dtype=jnp.float32):
+        if len(shape) == 1:
+            # bias: fan_in must be supplied via closure — handled by _bias_init
+            bound = 1.0
+        else:
+            fan_in = 1
+            for d in shape[:-1]:
+                fan_in *= d
+            bound = 1.0 / jnp.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+def _bias_uniform_init(fan_in: int):
+    bound = 1.0 / float(fan_in) ** 0.5
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+class Conv1d(nn.Module):
+    """Channels-last Conv1d lowered to an im2col matmul (ops/conv.py)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    pad_mode: str = "zero"
+    use_bias: bool = True
+    kernel_init: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        kinit = self.kernel_init or conv_normal_init()
+        kernel = self.param(
+            "kernel", kinit, (self.kernel_size, c_in, self.features)
+        )
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", _bias_uniform_init(c_in * self.kernel_size), (self.features,)
+            )
+        return conv_ops.conv1d(
+            x, kernel, bias, stride=self.stride, padding=self.padding,
+            pad_mode=self.pad_mode,
+        )
+
+
+class Conv2d(nn.Module):
+    """NHWC Conv2d via XLA's TPU conv lowering."""
+
+    features: int
+    kernel_size: tuple | int
+    stride: tuple | int = 1
+    padding: tuple | int = 0
+    pad_mode: str = "zero"
+    use_bias: bool = True
+    kernel_init: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        ks = (self.kernel_size,) * 2 if isinstance(self.kernel_size, int) else tuple(self.kernel_size)
+        kinit = self.kernel_init or conv_normal_init()
+        kernel = self.param("kernel", kinit, ks + (c_in, self.features))
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", _bias_uniform_init(c_in * ks[0] * ks[1]), (self.features,)
+            )
+        return conv_ops.conv2d(
+            x, kernel, bias, stride=self.stride, padding=self.padding,
+            pad_mode=self.pad_mode,
+        )
+
+
+class Dense(nn.Module):
+    """Linear layer with torch-default init."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kernel = self.param("kernel", _bias_uniform_init(fan_in), (fan_in, self.features))
+        y = jnp.einsum(
+            "...i,io->...o", x, kernel.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        if self.use_bias:
+            bias = self.param("bias", _bias_uniform_init(fan_in), (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class MLP(nn.Module):
+    """The AdaIN-parameter predictor MLP (reference models.py:951-962).
+
+    input -> dim -> ... -> output with ReLU between, n_blk linear layers.
+    """
+
+    output_dim: int
+    dim: int = 256
+    n_blk: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.reshape(x.shape[0], -1)
+        for _ in range(self.n_blk - 1):
+            x = nn.relu(Dense(self.dim)(x))
+        return Dense(self.output_dim)(x)
+
+
+class SampleLayerNorm(nn.Module):
+    """The reference's custom LayerNorm (models.py:965-985): per-sample
+    whole-tensor normalization with per-channel affine. gamma ~ U(0,1),
+    beta = 0 as in the reference ctor."""
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        gamma = self.param("gamma", lambda k, s: jax.random.uniform(k, s), (c,))
+        beta = self.param("beta", nn.initializers.zeros, (c,))
+        return norm_ops.sample_layer_norm(x, gamma, beta)
+
+
+class BatchNormEps(nn.Module):
+    """BatchNorm matching the reference's ``nn.BatchNorm1d(c, 0.8)`` — the
+    0.8 lands on torch's *eps* argument (reference models.py:675), so these
+    heads genuinely train with eps=0.8. Running stats tracked for eval.
+    Scale ~ N(1, 0.02), bias = 0 per weights_init_normal."""
+
+    eps: float = 0.8
+    momentum: float = 0.1
+    use_running_average: bool = False
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        use_ra = (
+            self.use_running_average
+            if use_running_average is None
+            else use_running_average
+        )
+        c = x.shape[-1]
+        scale = self.param("scale", lambda k, s: 1.0 + 0.02 * jax.random.normal(k, s), (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+
+        if use_ra:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axis=axes)
+            var = jnp.var(x, axis=axes)
+            if not self.is_initializing():
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+        shape = (1,) * (x.ndim - 1) + (c,)
+        inv = jax.lax.rsqrt(var + self.eps)
+        return (x - mean.reshape(shape)) * inv.reshape(shape) * scale.reshape(shape) + bias.reshape(shape)
+
+
+class ResidualBlock1d(nn.Module):
+    """ReflectionPad+Conv(k3)+norm+ReLU+ReflectionPad+Conv(k3)+norm, skip add
+    (reference models.py:988-1005). For norm='adain' the per-sample (gamma,
+    beta) pairs are passed in — two pairs per block."""
+
+    features: int
+    norm: str = "in"  # 'in' | 'adain'
+
+    @nn.compact
+    def __call__(self, x, adain_params: Optional[Sequence] = None):
+        y = Conv1d(self.features, 3, padding=1, pad_mode="reflect")(x)
+        if self.norm == "adain":
+            g1, b1 = adain_params[0]
+            y = norm_ops.adain(y, g1, b1)
+        else:
+            y = norm_ops.instance_norm(y)
+        y = nn.relu(y)
+        y = Conv1d(self.features, 3, padding=1, pad_mode="reflect")(y)
+        if self.norm == "adain":
+            g2, b2 = adain_params[1]
+            y = norm_ops.adain(y, g2, b2)
+        else:
+            y = norm_ops.instance_norm(y)
+        return x + y
+
+
+class ResidualBlock2d(nn.Module):
+    """2-D analogue (reference models.py:1008-1025)."""
+
+    features: int
+    norm: str = "in"
+
+    @nn.compact
+    def __call__(self, x, adain_params: Optional[Sequence] = None):
+        y = Conv2d(self.features, 3, padding=1, pad_mode="reflect")(x)
+        if self.norm == "adain":
+            g1, b1 = adain_params[0]
+            y = norm_ops.adain(y, g1, b1)
+        else:
+            y = norm_ops.instance_norm(y)
+        y = nn.relu(y)
+        y = Conv2d(self.features, 3, padding=1, pad_mode="reflect")(y)
+        if self.norm == "adain":
+            g2, b2 = adain_params[1]
+            y = norm_ops.adain(y, g2, b2)
+        else:
+            y = norm_ops.instance_norm(y)
+        return x + y
