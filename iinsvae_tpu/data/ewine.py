@@ -1,0 +1,69 @@
+"""eWine UWB CSV loader (reference data_tools.py:14-109), vectorized.
+
+CSV row layout (reference data_tools.py:93-107):
+  cols 0-1: tag (x, y); cols 2-3: anchor (x, y); col 4: measured distance;
+  col 5: NLOS label; col 8: first-path index; col 17: max amplitude;
+  the CIR taps start at column ``fp_idx + 15`` and run for 152 taps.
+
+Defects resolved: the reference returns an undefined ``err_arr``
+(data_tools.py:109, the array is named ``error_arr``) and has a stray ':'
+(data_tools.py:47). The per-row python loop is replaced by a vectorized
+take-along-axis gather.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+CIR_LEN = 152
+
+
+def load_data_from_file(filepath: str) -> np.ndarray:
+    return pd.read_csv(filepath, sep=",", header=0).values
+
+
+def load_data_from_folder(folderpath: str) -> np.ndarray:
+    arrays = []
+    for dirpath, _dirnames, filenames in os.walk(folderpath):
+        for fname in sorted(filenames):
+            if fname.endswith(".csv"):
+                arrays.append(load_data_from_file(os.path.join(dirpath, fname)))
+        break  # reference walks only the top level (data_tools.py:45-57)
+    if not arrays:
+        raise FileNotFoundError(f"No csv files in {folderpath}")
+    return np.vstack(arrays)
+
+
+def extract_reg_arrays(input_arr: np.ndarray):
+    """(rows, cols) -> (cir (N,152), err (N,1), label (N,1)), vectorized."""
+    input_arr = np.asarray(input_arr, dtype=np.float64)
+    d_gt = np.sqrt(
+        (input_arr[:, 0] - input_arr[:, 2]) ** 2 + (input_arr[:, 1] - input_arr[:, 3]) ** 2
+    )
+    err = np.abs(d_gt - input_arr[:, 4]).reshape(-1, 1)
+    label = input_arr[:, 5:6]
+    fp_idx = input_arr[:, 8].astype(np.int64)
+    start = fp_idx + 15
+    idx = start[:, None] + np.arange(CIR_LEN)[None, :]
+    cir = np.take_along_axis(input_arr, idx, axis=1) / input_arr[:, 17:18]
+    return cir, err, label
+
+
+def load_reg_data(paths, seed: int = 0):
+    """Load one or more csv files/folders, shuffle rows, extract arrays."""
+    if isinstance(paths, (str, os.PathLike)):
+        paths = [paths]
+    arrays = []
+    for p in paths:
+        p = str(p)
+        if os.path.isdir(p):
+            arrays.append(load_data_from_folder(p))
+        else:
+            arrays.append(load_data_from_file(p))
+    input_arr = np.vstack(arrays)
+    rng = np.random.default_rng(seed)
+    rng.shuffle(input_arr)
+    return extract_reg_arrays(input_arr)

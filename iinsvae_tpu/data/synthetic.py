@@ -1,0 +1,86 @@
+"""Synthetic Zenodo-shaped fixture (SURVEY.md §4: the real dataset.pkl is
+not in the repo — data/data_zenodo/ holds only the README).
+
+Generates physically-plausible UWB CIRs: a noise floor, a first-path pulse
+whose delay/attenuation depend on the environment, and an exponentially
+decaying multipath tail. Ranging error correlates with obstacle presence so
+the learning task is non-trivial; rooms shift the multipath decay so the
+env code has signal to classify.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from iinsvae_tpu.data.zenodo import OBSTACLE_ONEHOT, LOS_STR
+
+CIR_LEN = 157
+
+
+def synthetic_zenodo_frame(n: int = 4096, seed: int = 0) -> pd.DataFrame:
+    """A DataFrame with the dataset.pkl schema: CIR (157 floats), Error (m),
+    Room (int 0-4), Obstacles (10-char one-hot string or all-zero LOS)."""
+    rng = np.random.default_rng(seed)
+    rooms = rng.integers(0, 5, size=n)
+    # ~40% LOS, rest uniformly one of 10 obstacles
+    is_los = rng.random(n) < 0.4
+    obstacle_idx = rng.integers(0, 10, size=n)
+    obstacles = np.where(is_los, LOS_STR, np.asarray(OBSTACLE_ONEHOT)[obstacle_idx])
+
+    t = np.arange(CIR_LEN, dtype=np.float64)
+    # first-path delay shifts with obstacle (NLOS delays + attenuates)
+    fp_delay = 20 + rng.integers(0, 6, size=n) + np.where(is_los, 0, 4 + obstacle_idx // 2)
+    amp = np.where(is_los, 1.0, 0.45 + 0.04 * obstacle_idx) * (
+        1.0 + 0.1 * rng.standard_normal(n)
+    )
+    # room-dependent multipath decay constant
+    decay = 6.0 + 3.0 * rooms + rng.uniform(0, 1, size=n)
+
+    dt = t[None, :] - fp_delay[:, None]
+    pulse = np.exp(-0.5 * (dt / 1.5) ** 2)
+    tail = np.where(dt > 0, np.exp(-dt / decay[:, None]), 0.0) * (
+        0.35 + 0.1 * rng.random((n, CIR_LEN))
+    )
+    noise = 0.02 * np.abs(rng.standard_normal((n, CIR_LEN)))
+    cir = amp[:, None] * (pulse + tail) + noise
+    cir = cir * rng.uniform(800, 1200)  # raw zenodo CIRs are O(1e3-1e4)
+
+    err = np.abs(
+        0.05
+        + np.where(is_los, 0.02, 0.15 + 0.02 * obstacle_idx) * (fp_delay - 20) / 6.0
+        + 0.03 * rng.standard_normal(n)
+    )
+
+    return pd.DataFrame(
+        {
+            "CIR": [row for row in cir],
+            "Error": err,
+            "Room": rooms.astype(np.int64),
+            "Obstacles": obstacles,
+        }
+    )
+
+
+def synthetic_arrays(n: int = 4096, seed: int = 0, option: str = "room_full"):
+    """Direct (cir, err, label, room) arrays without a pickle round-trip."""
+    from iinsvae_tpu.data.zenodo import load_pkl_data  # reuse selection
+    import tempfile
+
+    frame = synthetic_zenodo_frame(n, seed)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "dataset.pkl")
+        frame.to_pickle(path)
+        return load_pkl_data(path, option=option, seed=seed)
+
+
+def ensure_dataset(root: str, n: int = 4096, seed: int = 0) -> str:
+    """Return ``root`` if the real dataset.pkl exists; otherwise write a
+    synthetic one next to the caller's data dir and return its path."""
+    if os.path.exists(root):
+        return root
+    os.makedirs(os.path.dirname(root) or ".", exist_ok=True)
+    synthetic_zenodo_frame(n, seed).to_pickle(root)
+    return root

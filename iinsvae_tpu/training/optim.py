@@ -1,0 +1,47 @@
+"""Optimizer and LR schedule.
+
+Reference: Adam(lr=1e-4, betas=(0.5, 0.999)) (run.py:92-96,
+train_semi.py:117-122) with the LambdaLR linear decay
+``1 - max(0, epoch + offset - decay_start) / (n_epochs - decay_start)``
+stepped once per epoch (models.py:17-25, train_semi.py:125-128).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import optax
+
+
+def lambda_lr_schedule(
+    base_lr: float,
+    n_epochs: int,
+    decay_start_epoch: int,
+    steps_per_epoch: int,
+    offset: int = 0,
+):
+    """Per-step schedule that reproduces the reference's per-epoch decay."""
+    assert n_epochs - decay_start_epoch > 0, "Decay must start before the training session ends!"
+
+    def schedule(step):
+        epoch = step // steps_per_epoch
+        factor = 1.0 - jnp.maximum(0.0, epoch + offset - decay_start_epoch) / (
+            n_epochs - decay_start_epoch
+        )
+        return base_lr * factor
+
+    return schedule
+
+
+def make_optimizer(
+    lr: float = 1e-4,
+    b1: float = 0.5,
+    b2: float = 0.999,
+    n_epochs: int | None = None,
+    decay_start_epoch: int | None = None,
+    steps_per_epoch: int = 1,
+    offset: int = 0,
+) -> optax.GradientTransformation:
+    if n_epochs is not None and decay_start_epoch is not None and decay_start_epoch < n_epochs:
+        sched = lambda_lr_schedule(lr, n_epochs, decay_start_epoch, steps_per_epoch, offset)
+        return optax.adam(learning_rate=sched, b1=b1, b2=b2)
+    return optax.adam(learning_rate=lr, b1=b1, b2=b2)

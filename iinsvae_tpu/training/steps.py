@@ -1,0 +1,264 @@
+"""jit-compiled train/eval steps.
+
+Each builder closes over a model and returns a pure function
+``step(state, batch, key) -> (state, metrics)`` suitable for jit, lax.scan,
+and mesh sharding. Batches are dicts of device arrays:
+
+    {"cir": (B, L), "err": (B, 1), "label": (B, 1), "weight": (B,)}
+
+``weight`` carries padding masks so every batch has a static shape (the
+reference's variable tail batches recompile / skew metrics; SURVEY.md §7
+"dynamic-shape traps").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from iinsvae_tpu.training.losses import semi_loss, joint_loss
+from iinsvae_tpu.training.state import TrainState
+
+
+def _metrics(err_est, err, logits, label, weight):
+    w = weight.reshape(-1)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    se = jnp.sum(((err_est - err).reshape(-1) ** 2) * w)
+    ae = jnp.sum(jnp.abs(err_est - err).reshape(-1) * w)
+    pred = jnp.argmax(logits, axis=-1)
+    correct = jnp.sum((pred == label.reshape(-1).astype(pred.dtype)) * w)
+    return {"se": se, "ae": ae, "correct": correct, "count": n}
+
+
+def finalize_metrics(acc: dict) -> dict:
+    """Accumulated sums -> epoch metrics (exact, not batch-mean-of-means)."""
+    n = acc["count"]
+    out = {
+        "rmse": jnp.sqrt(acc["se"] / n),
+        "abs": acc["ae"] / n,
+        "accuracy": acc["correct"] / n,
+    }
+    for k, v in acc.items():
+        if k not in ("se", "ae", "correct", "count"):
+            out[k] = v
+    return out
+
+
+def make_semi_train_step(
+    model,
+    supervision_rate: float = 1.0,
+    lambda_res: float = 10.0,
+) -> Callable:
+    """Semi-supervised step on IInsVAE (reference train_semi.py:163-268).
+
+    Per-sample Bernoulli(supervision_rate) labeled mask, drawn on device.
+    """
+
+    def step(state: TrainState, batch: dict, key: jax.Array):
+        k_mask, k_sample, k_drop = jax.random.split(key, 3)
+        cir, err, label = batch["cir"], batch["err"], batch["label"]
+        weight = batch.get("weight")
+        if weight is None:
+            weight = jnp.ones(cir.shape[0], cir.dtype)
+        sup_mask = jax.random.bernoulli(
+            k_mask, supervision_rate, (cir.shape[0],)
+        ).astype(cir.dtype)
+
+        def loss_fn(params):
+            out, mut = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                cir,
+                sample_key=k_sample,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": k_drop},
+            )
+            total, aux = semi_loss(
+                out, cir, err, label, sup_mask, weight, lambda_res=lambda_res
+            )
+            return total, (aux, mut, out)
+
+        (loss, (aux, mut, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads)
+        state = state.replace(batch_stats=mut.get("batch_stats", state.batch_stats))
+        metrics = _metrics(out["err_est"], err, out["logits"], label, weight)
+        metrics.update(aux)
+        return state, metrics
+
+    return step
+
+
+def make_semi_eval_step(model) -> Callable:
+    def step(state: TrainState, batch: dict):
+        cir, err, label = batch["cir"], batch["err"], batch["label"]
+        weight = batch.get("weight")
+        if weight is None:
+            weight = jnp.ones(cir.shape[0], cir.dtype)
+        out = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            cir,
+            sample_key=None,
+            train=False,
+        )
+        metrics = _metrics(out["err_est"], err, out["logits"], label, weight)
+        return metrics, out
+
+    return step
+
+
+def make_joint_train_step(model) -> Callable:
+    """Supervised joint step on EMNet/EMNetLoop (reference train.py:26-156)."""
+
+    def step(state: TrainState, batch: dict, key: jax.Array):
+        cir, err, label = batch["cir"], batch["err"], batch["label"]
+        weight = batch.get("weight")
+        if weight is None:
+            weight = jnp.ones(cir.shape[0], cir.dtype)
+
+        def loss_fn(params):
+            (label_est, env_latent, err_est), mut = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                cir,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": key},
+            )
+            total, aux = joint_loss(label_est, err_est, err, label, weight)
+            return total, (aux, mut, label_est, err_est)
+
+        (loss, (aux, mut, label_est, err_est)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads)
+        state = state.replace(batch_stats=mut.get("batch_stats", state.batch_stats))
+        metrics = _metrics(err_est, err, label_est, label, weight)
+        metrics.update(aux)
+        return state, metrics
+
+    return step
+
+
+def make_joint_eval_step(model) -> Callable:
+    def step(state: TrainState, batch: dict):
+        cir, err, label = batch["cir"], batch["err"], batch["label"]
+        weight = batch.get("weight")
+        if weight is None:
+            weight = jnp.ones(cir.shape[0], cir.dtype)
+        label_est, env_latent, err_est = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            cir,
+            train=False,
+        )
+        metrics = _metrics(err_est, err, label_est, label, weight)
+        return metrics, (label_est, env_latent, err_est)
+
+    return step
+
+
+def make_sep_e_train_step(model) -> Callable:
+    """Identifier-only CE training (reference train.py:159-268)."""
+
+    def step(state: TrainState, batch: dict, key: jax.Array):
+        cir, label = batch["cir"], batch["label"]
+        weight = batch.get("weight")
+        if weight is None:
+            weight = jnp.ones(cir.shape[0], cir.dtype)
+
+        def loss_fn(params):
+            (label_est, env_latent), mut = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                cir,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": key},
+            )
+            from iinsvae_tpu.training.losses import cross_entropy
+
+            loss = cross_entropy(label_est, label, weight)
+            return loss, (mut, label_est)
+
+        (loss, (mut, label_est)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads)
+        state = state.replace(batch_stats=mut.get("batch_stats", state.batch_stats))
+        pred = jnp.argmax(label_est, axis=-1)
+        w = weight.reshape(-1)
+        metrics = {
+            "loss": loss,
+            "correct": jnp.sum((pred == label.reshape(-1).astype(pred.dtype)) * w),
+            "count": jnp.maximum(jnp.sum(w), 1.0),
+        }
+        return state, metrics
+
+    return step
+
+
+def make_sep_m_train_step(model) -> Callable:
+    """Label-conditional regressor training (reference train.py:271-382)."""
+
+    def step(state: TrainState, batch: dict, key: jax.Array):
+        cir, err, label = batch["cir"], batch["err"], batch["label"]
+        weight = batch.get("weight")
+        if weight is None:
+            weight = jnp.ones(cir.shape[0], cir.dtype)
+
+        def loss_fn(params):
+            err_est, mut = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                cir,
+                label,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": key},
+            )
+            from iinsvae_tpu.training.losses import l1
+
+            loss = l1(err_est, err, weight)
+            return loss, (mut, err_est)
+
+        (loss, (mut, err_est)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads)
+        state = state.replace(batch_stats=mut.get("batch_stats", state.batch_stats))
+        w = weight.reshape(-1)
+        n = jnp.maximum(jnp.sum(w), 1.0)
+        metrics = {
+            "loss": loss,
+            "se": jnp.sum(((err_est - err).reshape(-1) ** 2) * w),
+            "ae": jnp.sum(jnp.abs(err_est - err).reshape(-1) * w),
+            "count": n,
+        }
+        return state, metrics
+
+    return step
+
+
+def sep_em_marginalized_inference(enet_state, mnet_state, cir, num_classes: int):
+    """Two-stage soft inference p(dd|r) = sum_k p(k|r) p(dd|r, k)
+    (reference test.py:282-289; softmax applied to the identifier logits —
+    the reference uses raw logits as probabilities, a documented defect)."""
+    label_est, env_latent = enet_state.apply_fn(
+        {"params": enet_state.params, "batch_stats": enet_state.batch_stats},
+        cir,
+        train=False,
+    )
+    probs = jax.nn.softmax(label_est, axis=-1)
+    ests = []
+    for k in range(num_classes):
+        lab = jnp.full((cir.shape[0], 1), float(k), cir.dtype)
+        est_k = mnet_state.apply_fn(
+            {"params": mnet_state.params, "batch_stats": mnet_state.batch_stats},
+            cir,
+            lab,
+            train=False,
+        )
+        ests.append(est_k)
+    err_est = sum(probs[:, k : k + 1] * ests[k] for k in range(num_classes))
+    return label_est, env_latent, err_est

@@ -1,0 +1,148 @@
+"""Training-layer tests: loss numerics, schedule, one-epoch smoke,
+loss-decreases, and the multi-device mesh path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iinsvae_tpu.config import Config
+from iinsvae_tpu.models import IInsVAE, EMNet
+from iinsvae_tpu.training.losses import semi_loss, joint_loss, l1, cross_entropy
+from iinsvae_tpu.training.optim import make_optimizer, lambda_lr_schedule
+from iinsvae_tpu.training.state import create_train_state
+from iinsvae_tpu.training.steps import (
+    make_semi_train_step,
+    make_semi_eval_step,
+    make_joint_train_step,
+    finalize_metrics,
+)
+from iinsvae_tpu.training.loop import pad_to_batches, make_epoch_runner, make_evaluator
+from iinsvae_tpu.data.synthetic import synthetic_arrays
+
+
+B, L = 16, 157
+
+
+def _data(n=64, env="room_full"):
+    cir, err, label, _ = synthetic_arrays(n=n, option=env)
+    # scale roughly like the real pipeline
+    cir = (cir - cir.mean(0)) / (cir.std(0) + 1e-9)
+    return {
+        "cir": jnp.asarray(cir, jnp.float32),
+        "err": jnp.asarray(err, jnp.float32),
+        "label": jnp.asarray(label, jnp.float32),
+    }
+
+
+def _semi_state(num_classes=5, steps_per_epoch=4):
+    model = IInsVAE(cir_len=L, num_classes=num_classes)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.ones((2, L)))
+    tx = make_optimizer(1e-4, 0.5, 0.999, n_epochs=500, decay_start_epoch=100,
+                        steps_per_epoch=steps_per_epoch)
+    return model, create_train_state(model, variables, tx)
+
+
+def test_l1_and_ce_hand_computed():
+    a = jnp.array([[1.0], [2.0]])
+    b = jnp.array([[0.0], [4.0]])
+    assert float(l1(a, b)) == pytest.approx(1.5)
+    w = jnp.array([1.0, 0.0])
+    assert float(l1(a, b, w)) == pytest.approx(1.0)
+
+    logits = jnp.array([[0.0, 0.0], [10.0, 0.0]])
+    labels = jnp.array([0, 0])
+    want = (np.log(2.0) + -np.log(np.exp(10) / (np.exp(10) + 1))) / 2
+    assert float(cross_entropy(logits, labels)) == pytest.approx(want, rel=1e-5)
+
+
+def test_lambda_lr_schedule_matches_reference():
+    # reference models.py:24-25: 1 - max(0, e - 100) / 400 per epoch
+    sched = lambda_lr_schedule(1e-4, 500, 100, steps_per_epoch=10)
+    assert float(sched(0)) == pytest.approx(1e-4)
+    assert float(sched(999)) == pytest.approx(1e-4)  # epoch 99
+    assert float(sched(3000)) == pytest.approx(1e-4 * (1 - 200 / 400))  # epoch 300
+    assert float(sched(4990)) == pytest.approx(1e-4 * (1 - 399 / 400))
+
+
+def test_semi_loss_masking():
+    out = {
+        "recon": jnp.zeros((4, L)),
+        "err_est": jnp.ones((4, 1)),
+        "logits": jnp.zeros((4, 5)),
+        "kl": jnp.zeros(()),
+        "env_code": jnp.zeros((4, 8)),
+    }
+    cir = jnp.zeros((4, L))
+    err = jnp.ones((4, 1))
+    label = jnp.zeros((4, 1))
+    # fully unsupervised: res/env terms vanish, recon/kl exact zero
+    total, aux = semi_loss(out, cir, err, label, sup_mask=jnp.zeros(4))
+    assert float(aux["loss_res"]) == 0.0
+    assert float(aux["loss_ae"]) == 0.0
+    assert float(aux["loss_kl"]) == 0.0
+    # fully supervised: err matches -> res 0; CE = log(5) at uniform logits
+    total, aux = semi_loss(out, cir, err, label, sup_mask=jnp.ones(4))
+    assert float(aux["loss_res"]) == 0.0
+    assert float(aux["loss_env"]) == pytest.approx(np.log(5), rel=1e-5)
+
+
+def test_semi_train_step_decreases_loss():
+    model, state = _semi_state()
+    data = _data(n=B)
+    batch = {**data, "weight": jnp.ones(B)}
+    step = jax.jit(make_semi_train_step(model, supervision_rate=1.0))
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(30):
+        state, m = step(state, batch, jax.random.fold_in(key, i))
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_joint_train_step_runs():
+    model = EMNet(cir_len=L, num_classes=5)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.ones((2, L)))
+    tx = make_optimizer()
+    from iinsvae_tpu.training.state import create_train_state
+
+    state = create_train_state(model, variables, tx)
+    data = _data(n=B)
+    batch = {**data, "weight": jnp.ones(B)}
+    step = jax.jit(make_joint_train_step(model))
+    state, m = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_pad_to_batches_weights():
+    data = _data(n=50)
+    padded = pad_to_batches(data, 16)
+    assert padded["cir"].shape[0] == 64
+    assert float(padded["weight"].sum()) == 50.0
+
+
+def test_epoch_runner_and_evaluator():
+    model, state = _semi_state()
+    data = pad_to_batches(_data(n=70), 16)
+    run_epoch = make_epoch_runner(make_semi_train_step(model, 0.5), batch_size=16)
+    state, acc = run_epoch(state, data, jax.random.PRNGKey(0))
+    metrics = finalize_metrics(jax.tree.map(jnp.asarray, acc))
+    assert float(acc["count"]) == 70.0
+    assert np.isfinite(float(metrics["rmse"]))
+
+    evaluate = make_evaluator(make_semi_eval_step(model), batch_size=16)
+    m, outs = evaluate(state, data)
+    assert float(m["accuracy"]) <= 1.0
+    assert outs["recon"].shape == (5, 16, L)  # stacked over batches
+
+
+def test_metrics_match_manual():
+    model, state = _semi_state()
+    data = pad_to_batches(_data(n=32), 16)
+    evaluate = make_evaluator(make_semi_eval_step(model), batch_size=16)
+    m, outs = evaluate(state, data)
+    err_est = np.asarray(outs["err_est"]).reshape(-1, 1)
+    err = np.asarray(data["err"])
+    want_rmse = np.sqrt(np.mean((err_est - err) ** 2))
+    assert float(m["rmse"]) == pytest.approx(want_rmse, rel=1e-5)
