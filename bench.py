@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark: semi-supervised training throughput (CIR samples/sec/chip).
+
+Runs the flagship IInsVAE semi-supervised path — the reference's
+north-star config (train_semi.py) — at the reference's batch size (500)
+over a zenodo-room_full-sized synthetic epoch, with the whole epoch scanned
+inside one jit. Baseline is the repaired reference semantics in PyTorch on
+host CPU (see BASELINE.md; measured by bench_baseline_torch.py).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Measured CPU torch reference throughput (samples/sec) — see BASELINE.md.
+# (benchmarks/baseline_torch.py on this image's host: 1793.8 samples/sec)
+BASELINE_CPU_SPS = 1793.8
+
+N_SAMPLES = 44_000  # zenodo room_full 'full'-mode train split size (~44,126)
+BATCH_SIZE = 500
+TIMED_EPOCHS = 20  # few-dispatch timings under-report on the tunnel; use many
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from iinsvae_tpu.models import IInsVAE
+    from iinsvae_tpu.training.optim import make_optimizer
+    from iinsvae_tpu.training.state import create_train_state
+    from iinsvae_tpu.training.steps import make_semi_train_step
+    from iinsvae_tpu.training.loop import pad_to_batches, make_epoch_runner
+
+    rng = np.random.default_rng(0)
+    data = {
+        "cir": jnp.asarray(rng.standard_normal((N_SAMPLES, 157)), jnp.float32),
+        "err": jnp.asarray(np.abs(rng.standard_normal((N_SAMPLES, 1))), jnp.float32),
+        "label": jnp.asarray(rng.integers(0, 5, (N_SAMPLES, 1)), jnp.float32),
+    }
+    data = pad_to_batches(data, BATCH_SIZE)
+
+    model = IInsVAE(cir_len=157, num_classes=5, style_dim=16)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.ones((2, 157)))
+    steps_per_epoch = data["cir"].shape[0] // BATCH_SIZE
+    tx = make_optimizer(1e-4, 0.5, 0.999, n_epochs=500, decay_start_epoch=100,
+                        steps_per_epoch=steps_per_epoch)
+    state = create_train_state(model, variables, tx)
+
+    step = make_semi_train_step(model, supervision_rate=0.1)
+    run_epoch = make_epoch_runner(step, BATCH_SIZE)
+    key = jax.random.PRNGKey(0)
+
+    # warmup / compile. NOTE: on the tunneled TPU platform,
+    # block_until_ready() can return before remote execution finishes; a
+    # host value fetch is the reliable synchronization point.
+    state, m = run_epoch(state, data, key)
+    float(m["loss"])
+
+    t0 = time.perf_counter()
+    for e in range(TIMED_EPOCHS):
+        state, m = run_epoch(state, data, jax.random.fold_in(key, e))
+        float(m["loss"])
+    elapsed = time.perf_counter() - t0
+
+    sps = N_SAMPLES * TIMED_EPOCHS / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "semi_train_throughput",
+                "value": round(sps, 1),
+                "unit": "CIR samples/sec/chip",
+                "vs_baseline": round(sps / BASELINE_CPU_SPS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

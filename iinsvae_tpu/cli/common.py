@@ -1,0 +1,120 @@
+"""Shared driver plumbing: logging, data resolution, state construction."""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from iinsvae_tpu.config import Config
+from iinsvae_tpu.data.splits import err_mitigation_dataset
+from iinsvae_tpu.training.optim import make_optimizer
+from iinsvae_tpu.training.state import create_train_state
+
+EWINE_DEFAULT_PATHS = [
+    "./data/data_ewine/dataset1/tag_room0.csv",
+    "./data/data_ewine/dataset1/tag_room1.csv",
+    "./data/data_ewine/dataset2/tag_room0.csv",
+    "./data/data_ewine/dataset2/tag_room1/",
+]
+
+
+def setup_logging(result_path: str, filename: str) -> logging.Logger:
+    os.makedirs(result_path, exist_ok=True)
+    logger = logging.getLogger(filename)
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    fh = logging.FileHandler(os.path.join(result_path, filename))
+    fh.setFormatter(logging.Formatter("%(asctime)s %(message)s"))
+    logger.addHandler(fh)
+    sh = logging.StreamHandler(sys.stdout)
+    sh.setFormatter(logging.Formatter("%(message)s"))
+    logger.addHandler(sh)
+    logger.info("Started")
+    return logger
+
+
+def resolve_data(cfg: Config):
+    """Load train/test splits, falling back to the synthetic fixture when
+    the real dataset is absent (it is not shipped in the reference repo —
+    SURVEY.md §7 'data availability')."""
+    if cfg.dataset_name == "zenodo":
+        root = cfg.data_root
+        if not os.path.exists(root):
+            if not cfg.allow_synthetic:
+                raise FileNotFoundError(
+                    f"{root} not found; download the Zenodo dataset "
+                    "(DOI 10.5281/zenodo.4290069) or drop --no_synthetic"
+                )
+            from iinsvae_tpu.data.synthetic import ensure_dataset
+
+            root = ensure_dataset(root, n=cfg.synthetic_n, seed=cfg.seed)
+            print(f"[data] dataset.pkl absent -> synthetic fixture at {root}")
+    else:
+        root = [p for p in EWINE_DEFAULT_PATHS if os.path.exists(p)]
+        if not root:
+            raise FileNotFoundError("no ewine csvs found under ./data/data_ewine/")
+
+    env = cfg.dataset_env if cfg.dataset_name == "zenodo" else None
+    data_train, data_test, ftr, fte = err_mitigation_dataset(
+        root,
+        dataset_name=cfg.dataset_name,
+        dataset_env=env,
+        split_factor=cfg.split_factor,
+        scaling=True,
+        mode=cfg.mode,
+        seed=cfg.seed,
+    )
+    return data_train, data_test
+
+
+def to_batch_dict(split) -> dict:
+    cir, err, label = split
+    return {
+        "cir": jnp.asarray(cir),
+        "err": jnp.asarray(err),
+        "label": jnp.asarray(label),
+    }
+
+
+def init_state(model, cfg: Config, example_batch_size: int = 2, steps_per_epoch: int = 1,
+               extra_input=None):
+    rngs = {"params": jax.random.PRNGKey(cfg.seed)}
+    x = jnp.ones((example_batch_size, cfg.cir_len))
+    if extra_input is not None:
+        variables = model.init(rngs, x, extra_input)
+    else:
+        variables = model.init(rngs, x)
+    tx = make_optimizer(
+        cfg.lr, cfg.b1, cfg.b2,
+        n_epochs=cfg.n_epochs, decay_start_epoch=cfg.decay_epoch,
+        steps_per_epoch=steps_per_epoch, offset=cfg.epoch,
+    )
+    return create_train_state(model, variables, tx)
+
+
+class EpochLogger:
+    """Reference-style progress lines with ETA (train.py:117-129)."""
+
+    def __init__(self, logger, n_epochs: int, header: str):
+        self.logger = logger
+        self.n_epochs = n_epochs
+        self.header = header
+        self.t0 = time.time()
+        self.done = 0
+
+    def __call__(self, epoch: int, metrics: dict):
+        self.done += 1
+        elapsed = time.time() - self.t0
+        eta = elapsed / self.done * (self.n_epochs - epoch - 1)
+        parts = " ".join(
+            f"[{k}: {v:.6f}]" for k, v in metrics.items() if isinstance(v, float)
+        )
+        self.logger.info(
+            f"{self.header} [Epoch {epoch}/{self.n_epochs}] {parts} "
+            f"[epoch time: {elapsed / self.done:.3f}s ETA: {eta:.0f}s]"
+        )

@@ -1,0 +1,99 @@
+"""Supervised joint training + test driver (reference run.py).
+
+Builds EMNet ('loop') or EMNetLoop ('loops') per --net_ablation
+(run.py:58-74), trains with CE + L1 (train.py:26-156), evaluates with the
+test_gem pipeline including SVM comparison (test.py:26-146).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from iinsvae_tpu.config import Config, parse
+from iinsvae_tpu.models import EMNet, EMNetLoop
+from iinsvae_tpu.training.steps import make_joint_train_step, finalize_metrics
+from iinsvae_tpu.training.loop import pad_to_batches, make_epoch_runner
+from iinsvae_tpu.training.checkpoint import (
+    joint_model_dir,
+    joint_result_dir,
+    save_checkpoint,
+    restore_checkpoint,
+)
+from iinsvae_tpu.evaluation.evaluate import evaluate_joint
+from iinsvae_tpu.cli.common import (
+    setup_logging,
+    resolve_data,
+    to_batch_dict,
+    init_state,
+    EpochLogger,
+)
+
+
+def build_model(cfg: Config):
+    cls = {"loop": EMNet, "loops": EMNetLoop}.get(cfg.net_ablation)
+    if cls is None:
+        raise ValueError("Unknown network arrangement, choices: loop, loops.")
+    return cls(
+        cir_len=cfg.cir_len,
+        num_classes=cfg.num_classes,
+        env_dim=cfg.env_dim,
+        filters=cfg.filters,
+        enet_type=cfg.identifier_type,
+        mnet_type=cfg.regressor_type,
+    )
+
+
+def main(argv=None, cfg: Config | None = None):
+    cfg = cfg or parse(argv)
+    model_path = joint_model_dir(cfg)
+    train_path = joint_result_dir(cfg)
+    test_path = joint_result_dir(cfg, test=True)
+    logger = setup_logging(train_path, "training_log.log")
+    logger.info(str(cfg.to_dict()))
+
+    data_train, data_test = resolve_data(cfg)
+    train = pad_to_batches(to_batch_dict(data_train), cfg.batch_size)
+
+    model = build_model(cfg)
+    state = init_state(model, cfg)
+    if cfg.epoch != 0:
+        state = restore_checkpoint(model_path, cfg.epoch, state)
+
+    run_epoch = make_epoch_runner(make_joint_train_step(model), cfg.batch_size)
+    epoch_log = EpochLogger(
+        logger, cfg.n_epochs,
+        f"[Data Env: {cfg.dataset_env}] "
+        f"[Identifier{cfg.identifier_type}_Regressor{cfg.regressor_type}]",
+    )
+    key = jax.random.PRNGKey(cfg.seed)
+    test_batch = to_batch_dict(data_test)
+    eval_bs = min(500, test_batch["cir"].shape[0])
+
+    for epoch in range(cfg.epoch, cfg.n_epochs):
+        state, metrics = run_epoch(state, train, jax.random.fold_in(key, epoch))
+        epoch_log(epoch, jax.tree.map(float, finalize_metrics(metrics)))
+        if cfg.checkpoint_interval != -1 and epoch % cfg.checkpoint_interval == 0:
+            save_checkpoint(model_path, epoch, state)
+        if cfg.sample_interval and epoch % cfg.sample_interval == 0 and epoch > 0:
+            m = evaluate_joint(
+                model, state, test_batch, eval_bs,
+                result_path=train_path, epoch=epoch,
+                dataset_env=cfg.dataset_env, dataset_name=cfg.dataset_name,
+            )
+            logger.info(f"[val epoch {epoch}] " + " ".join(
+                f"[{k}: {v:.6f}]" for k, v in m.items() if isinstance(v, float)))
+
+    save_checkpoint(model_path, cfg.n_epochs, state)
+    m = evaluate_joint(
+        model, state, test_batch, eval_bs,
+        result_path=test_path, epoch=cfg.n_epochs,
+        dataset_env=cfg.dataset_env, dataset_name=cfg.dataset_name,
+        data_raw=(data_train, data_test), run_svm=True, make_plots=True,
+    )
+    logger.info("[test] " + " ".join(
+        f"[{k}: {v:.6f}]" for k, v in m.items() if isinstance(v, float)))
+    return state, m
+
+
+if __name__ == "__main__":
+    main()

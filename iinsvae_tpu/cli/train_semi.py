@@ -1,0 +1,108 @@
+"""Semi-supervised training driver (reference train_semi.py).
+
+CLI-compatible: the reference's flags plus the drifted aliases all parse
+(config.py). The whole epoch runs as one jit (training/loop.py); the
+supervision mask is per-sample Bernoulli(supervision_rate) on device.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from iinsvae_tpu.config import Config, parse
+from iinsvae_tpu.models import IInsVAE
+from iinsvae_tpu.training.steps import make_semi_train_step, finalize_metrics
+from iinsvae_tpu.training.loop import pad_to_batches, make_epoch_runner
+from iinsvae_tpu.training.checkpoint import (
+    semi_model_dir,
+    semi_result_dir,
+    save_checkpoint,
+    restore_checkpoint,
+)
+from iinsvae_tpu.evaluation.evaluate import evaluate_semi
+from iinsvae_tpu.cli.common import (
+    setup_logging,
+    resolve_data,
+    to_batch_dict,
+    init_state,
+    EpochLogger,
+)
+
+
+def build_model(cfg: Config) -> IInsVAE:
+    return IInsVAE(
+        conv_type=cfg.conv_type,
+        dim=cfg.dim,
+        n_residual=cfg.n_residual,
+        n_downsample=cfg.n_downsample,
+        style_dim=cfg.env_dim,
+        range_dim=cfg.range_dim,
+        cir_len=cfg.cir_len,
+        num_classes=cfg.num_classes,
+        restorer_type=cfg.restorer_type,
+        classifier_type=cfg.classifier_type,
+        soft=cfg.use_soft,
+        expand=cfg.expand,
+    )
+
+
+def main(argv=None, cfg: Config | None = None):
+    cfg = cfg or parse(argv)
+    model_path = semi_model_dir(cfg)
+    result_path = semi_result_dir(cfg)
+    logger = setup_logging(result_path, "train_log.log")
+    logger.info(str(cfg.to_dict()))
+
+    data_train, data_test = resolve_data(cfg)
+    train = pad_to_batches(to_batch_dict(data_train), cfg.batch_size)
+    steps_per_epoch = train["cir"].shape[0] // cfg.batch_size
+
+    model = build_model(cfg)
+    state = init_state(model, cfg, steps_per_epoch=steps_per_epoch)
+    if cfg.epoch != 0:
+        state = restore_checkpoint(model_path, cfg.epoch, state)
+        logger.info(f"resumed from epoch {cfg.epoch}")
+
+    train_step = make_semi_train_step(
+        model, supervision_rate=cfg.supervision_rate
+    )
+    run_epoch = make_epoch_runner(train_step, cfg.batch_size)
+
+    epoch_log = EpochLogger(
+        logger, cfg.n_epochs,
+        f"[Model: C{cfg.conv_type}_{cfg.restorer_type}_semi{cfg.supervision_rate}]",
+    )
+    key = jax.random.PRNGKey(cfg.seed)
+
+    test_batch = to_batch_dict(data_test)
+    eval_bs = min(500, test_batch["cir"].shape[0])
+
+    final_state = state
+    for epoch in range(cfg.epoch, cfg.n_epochs):
+        final_state, metrics = run_epoch(final_state, train, jax.random.fold_in(key, epoch))
+        epoch_log(epoch, jax.tree.map(float, finalize_metrics(metrics)))
+        if cfg.checkpoint_interval != -1 and epoch % cfg.checkpoint_interval == 0:
+            save_checkpoint(model_path, epoch, final_state)
+        if cfg.sample_interval and epoch % cfg.sample_interval == 0 and epoch > 0:
+            m = evaluate_semi(
+                model, final_state, test_batch, eval_bs,
+                result_path=result_path, epoch=epoch,
+                dataset_env=cfg.dataset_env, dataset_name=cfg.dataset_name,
+            )
+            logger.info(f"[val epoch {epoch}] " + " ".join(
+                f"[{k}: {v:.6f}]" for k, v in m.items() if isinstance(v, float)))
+
+    save_checkpoint(model_path, cfg.n_epochs, final_state)
+    m = evaluate_semi(
+        model, final_state, test_batch, eval_bs,
+        result_path=result_path, epoch=cfg.n_epochs,
+        dataset_env=cfg.dataset_env, dataset_name=cfg.dataset_name,
+        data_raw=(data_train, data_test), run_svm=True, make_plots=True,
+    )
+    logger.info("[final] " + " ".join(
+        f"[{k}: {v:.6f}]" for k, v in m.items() if isinstance(v, float)))
+    return final_state, m
+
+
+if __name__ == "__main__":
+    main()
