@@ -78,9 +78,14 @@ def synthetic_arrays(n: int = 4096, seed: int = 0, option: str = "room_full"):
 
 def ensure_dataset(root: str, n: int = 4096, seed: int = 0) -> str:
     """Return ``root`` if the real dataset.pkl exists; otherwise write a
-    synthetic one next to the caller's data dir and return its path."""
+    synthetic fixture UNDER A DISTINCT NAME next to it and return that path
+    — never the real path, so a later run can't mistake the fixture for the
+    downloaded dataset."""
     if os.path.exists(root):
         return root
-    os.makedirs(os.path.dirname(root) or ".", exist_ok=True)
-    synthetic_zenodo_frame(n, seed).to_pickle(root)
-    return root
+    base, ext = os.path.splitext(root)
+    synth = f"{base}_synthetic_{n}_{seed}{ext or '.pkl'}"
+    if not os.path.exists(synth):
+        os.makedirs(os.path.dirname(synth) or ".", exist_ok=True)
+        synthetic_zenodo_frame(n, seed).to_pickle(synth)
+    return synth

@@ -43,5 +43,11 @@ def make_optimizer(
 ) -> optax.GradientTransformation:
     if n_epochs is not None and decay_start_epoch is not None and decay_start_epoch < n_epochs:
         sched = lambda_lr_schedule(lr, n_epochs, decay_start_epoch, steps_per_epoch, offset)
-        return optax.adam(learning_rate=sched, b1=b1, b2=b2)
-    return optax.adam(learning_rate=lr, b1=b1, b2=b2)
+    else:
+        # constant schedule — ALWAYS a callable, so the optax state pytree
+        # structure is identical whether or not decay is active and
+        # checkpoints restore across configs (e.g. a short smoke run
+        # reloading into the 500-epoch default).
+        def sched(step):
+            return lr
+    return optax.adam(learning_rate=sched, b1=b1, b2=b2)
