@@ -69,6 +69,52 @@ class RangeEncoder2d(nn.Module):
         return x  # (B, 8, 8, out_dim)
 
 
+class RangeEncoder2dNoExpand(nn.Module):
+    """Column-image variant: (B, L, 1, 1) with (4,1)-strided convs
+    (reference models.py:218-255, flagged "Not available yet" there; made
+    functional here — conv_type=3)."""
+
+    dim: int = 4
+    n_residual: int = 3
+    n_downsample: int = 4
+    out_dim: int = 2
+
+    @nn.compact
+    def __call__(self, x):  # (B, L, 1, 1)
+        x = adaptive_avg_pool2d(x, (128, 1))
+        x = nn.relu(Conv2d(self.dim, 1)(x))  # 1x1 conv, no norm (ref :228-233)
+        dim = self.dim
+        for _ in range(self.n_downsample):
+            x = nn.relu(instance_norm(Conv2d(dim * 2, (4, 1), stride=(2, 1), padding=((1, 1), (0, 0)))(x)))
+            dim *= 2
+        for _ in range(self.n_residual):
+            x = ResidualBlock2dNoExpand(dim, norm="in")(x)
+        x = nn.relu(Conv2d(self.out_dim, 1)(x))
+        return x  # (B, 8, 1, out_dim)
+
+
+class EnvEncoder2dNoExpand(nn.Module):
+    """(B, L, 1, 1) column-image env encoder (reference models.py:352-394)."""
+
+    dim: int = 16
+    n_downsample: int = 2
+    style_dim: int = 8
+
+    @nn.compact
+    def __call__(self, x):  # (B, L, 1, 1)
+        x = adaptive_avg_pool2d(x, (128, 1))
+        x = nn.relu(Conv2d(self.dim, (7, 1), padding=((3, 3), (0, 0)), pad_mode="zero")(x))
+        dim = self.dim
+        for _ in range(2):
+            x = nn.relu(Conv2d(dim * 2, (4, 1), stride=(2, 1), padding=((1, 1), (0, 0)))(x))
+            dim *= 2
+        for _ in range(self.n_downsample - 2):
+            x = nn.relu(Conv2d(dim, (4, 1), stride=(2, 1), padding=((1, 1), (0, 0)))(x))
+        x = jnp.mean(x, axis=(-3, -2), keepdims=True)
+        cat = Conv2d(self.style_dim, 1)(x)
+        return cat.reshape(cat.shape[0], self.style_dim)
+
+
 class EnvEncoder1d(nn.Module):
     dim: int = 16
     n_downsample: int = 2  # extra constant-depth downsamples = n_downsample - 2

@@ -15,7 +15,19 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from iinsvae_tpu.ops import conv as conv_ops
+from iinsvae_tpu.ops import dense_conv as dense_ops
 from iinsvae_tpu.ops import norms as norm_ops
+
+# Global Conv1d lowering: 'dense' (one MXU matmul per layer, ops/dense_conv.py)
+# or 'im2col' (reference lowering, ops/conv.py). Exact same math — tested
+# against each other; 'dense' is ~2x faster end-to-end on v5e at these sizes.
+_CONV1D_IMPL = "dense"
+
+
+def set_conv1d_impl(impl: str) -> None:
+    global _CONV1D_IMPL
+    assert impl in ("dense", "im2col")
+    _CONV1D_IMPL = impl
 
 
 def conv_normal_init(std: float = 0.02):
@@ -56,6 +68,7 @@ class Conv1d(nn.Module):
     pad_mode: str = "zero"
     use_bias: bool = True
     kernel_init: Optional[Callable] = None
+    impl: Optional[str] = None  # None -> module-global default
 
     @nn.compact
     def __call__(self, x):
@@ -68,6 +81,12 @@ class Conv1d(nn.Module):
         if self.use_bias:
             bias = self.param(
                 "bias", _bias_uniform_init(c_in * self.kernel_size), (self.features,)
+            )
+        impl = self.impl or _CONV1D_IMPL
+        if impl == "dense":
+            return dense_ops.conv1d_dense(
+                x, kernel, bias, stride=self.stride, padding=self.padding,
+                pad_mode=self.pad_mode,
             )
         return conv_ops.conv1d(
             x, kernel, bias, stride=self.stride, padding=self.padding,
@@ -213,6 +232,32 @@ class ResidualBlock1d(nn.Module):
             y = norm_ops.instance_norm(y)
         y = nn.relu(y)
         y = Conv1d(self.features, 3, padding=1, pad_mode="reflect")(y)
+        if self.norm == "adain":
+            g2, b2 = adain_params[1]
+            y = norm_ops.adain(y, g2, b2)
+        else:
+            y = norm_ops.instance_norm(y)
+        return x + y
+
+
+class ResidualBlock2dNoExpand(nn.Module):
+    """Column-image residual block with (3,1) kernels
+    (reference models.py:1028-1045)."""
+
+    features: int
+    norm: str = "in"
+
+    @nn.compact
+    def __call__(self, x, adain_params: Optional[Sequence] = None):
+        pad = ((1, 1), (0, 0))
+        y = Conv2d(self.features, (3, 1), padding=pad, pad_mode="reflect")(x)
+        if self.norm == "adain":
+            g1, b1 = adain_params[0]
+            y = norm_ops.adain(y, g1, b1)
+        else:
+            y = norm_ops.instance_norm(y)
+        y = nn.relu(y)
+        y = Conv2d(self.features, (3, 1), padding=pad, pad_mode="reflect")(y)
         if self.norm == "adain":
             g2, b2 = adain_params[1]
             y = norm_ops.adain(y, g2, b2)

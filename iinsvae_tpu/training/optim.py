@@ -50,4 +50,7 @@ def make_optimizer(
         # reloading into the 500-epoch default).
         def sched(step):
             return lr
-    return optax.adam(learning_rate=sched, b1=b1, b2=b2)
+    # optax.flatten: run adam over ONE concatenated vector instead of ~80
+    # small per-leaf tensors — the per-leaf update chains cost ~0.9 ms/step
+    # on v5e (measured; 2.5 -> 1.63 ms/step), the math is identical.
+    return optax.flatten(optax.adam(learning_rate=sched, b1=b1, b2=b2))
