@@ -98,6 +98,42 @@ class Decoder2d(nn.Module):
         return x
 
 
+class Decoder2dNoExpand(nn.Module):
+    """Column-image decoder with (k,1) kernels (reference models.py:542-608,
+    flagged "Not available yet" there; functional here — conv_type=3).
+    The reference's asymmetric ReflectionPad2d((3,1)) is resolved to the
+    intended symmetric 3-pad on the length axis."""
+
+    dim: int = 4
+    n_residual: int = 3
+    n_upsample: int = 4
+    in_dim: int = 157
+    out_dim: int = 2
+    style_dim: int = 8
+
+    @nn.compact
+    def __call__(self, range_code, env_code):  # (B, 8, 1, C)
+        from iinsvae_tpu.models.layers import ResidualBlock2dNoExpand
+
+        dim = self.dim * 2**self.n_upsample
+        num_adain = self.n_residual * 2 * 2 * dim
+        adain_params = MLP(num_adain, name="mlp")(env_code)
+        per_block = slice_adain_params(adain_params, self.n_residual, dim)
+
+        x = nn.relu(Conv2d(dim, 1)(range_code))
+        for i in range(self.n_residual):
+            x = ResidualBlock2dNoExpand(dim, norm="adain")(x, per_block[i])
+        for _ in range(self.n_upsample):
+            x = jnp.repeat(x, 2, axis=-3)  # Upsample (2,1)
+            x = Conv2d(dim // 2, (5, 1), padding=((2, 2), (0, 0)))(x)
+            x = SampleLayerNorm()(x)
+            x = nn.relu(x)
+            dim //= 2
+        x = jnp.tanh(Conv2d(1, (7, 1), padding=((3, 3), (0, 0)), pad_mode="reflect")(x))
+        x = adaptive_avg_pool2d(x, (self.in_dim, 1))
+        return x  # (B, in_dim, 1, 1)
+
+
 class Decoder(nn.Module):
     """Facade (reference models.py:67-91): squeeze back to (B, in_dim)."""
 
@@ -117,11 +153,15 @@ class Decoder(nn.Module):
                 self.dim, self.n_residual, self.n_upsample, self.in_dim,
                 self.out_dim, self.style_dim, name="decoder",
             )(range_code, env_code)
-        x = Decoder2d(
+        if self.conv_type == 2 and self.expand:
+            x = Decoder2d(
+                self.dim, self.n_residual, self.n_upsample, self.in_dim,
+                self.out_dim, self.style_dim, name="decoder",
+            )(range_code, env_code)
+            # keep the first column, as the reference does (models.py:90)
+            return x[:, :, 0, 0]
+        x = Decoder2dNoExpand(
             self.dim, self.n_residual, self.n_upsample, self.in_dim,
             self.out_dim, self.style_dim, name="decoder",
         )(range_code, env_code)
-        if self.expand:
-            # keep the first column, as the reference does (models.py:90)
-            return x[:, :, 0, 0]
         return x.reshape(x.shape[0], self.in_dim)

@@ -22,12 +22,21 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from iinsvae_tpu.models.layers import Conv1d, Conv2d, ResidualBlock1d, ResidualBlock2d
+from iinsvae_tpu.models.layers import (
+    Conv1d,
+    Conv2d,
+    ConvINAct,
+    ResidualBlock1d,
+    ResidualBlock2d,
+    ResidualBlock2dNoExpand,
+)
 from iinsvae_tpu.ops.pooling import adaptive_avg_pool1d, adaptive_avg_pool2d
 from iinsvae_tpu.ops.norms import instance_norm
 
 
 class RangeEncoder1d(nn.Module):
+    """Every stage is one fused Pallas kernel (ConvINAct) on TPU."""
+
     dim: int = 4
     n_residual: int = 3
     n_downsample: int = 4
@@ -36,14 +45,15 @@ class RangeEncoder1d(nn.Module):
     @nn.compact
     def __call__(self, x):  # (B, L, 1)
         x = adaptive_avg_pool1d(x, 128)
-        x = nn.relu(instance_norm(Conv1d(self.dim, 7, padding=3, pad_mode="reflect")(x)))
+        x = ConvINAct(self.dim, 7, padding=3, pad_mode="reflect",
+                      norm="in", act="relu")(x)
         dim = self.dim
         for _ in range(self.n_downsample):
-            x = nn.relu(instance_norm(Conv1d(dim * 2, 4, stride=2, padding=1)(x)))
+            x = ConvINAct(dim * 2, 4, stride=2, padding=1, norm="in", act="relu")(x)
             dim *= 2
         for _ in range(self.n_residual):
             x = ResidualBlock1d(dim, norm="in")(x)
-        x = nn.relu(Conv1d(self.out_dim, 1)(x))
+        x = ConvINAct(self.out_dim, 1, norm="none", act="relu")(x)
         return x  # (B, 128 / 2**n_downsample, out_dim)
 
 
@@ -123,13 +133,14 @@ class EnvEncoder1d(nn.Module):
     @nn.compact
     def __call__(self, x):  # (B, L, 1)
         x = adaptive_avg_pool1d(x, 128)
-        x = nn.relu(Conv1d(self.dim, 7, padding=3, pad_mode="reflect")(x))
+        x = ConvINAct(self.dim, 7, padding=3, pad_mode="reflect",
+                      norm="none", act="relu")(x)
         dim = self.dim
         for _ in range(2):
-            x = nn.relu(Conv1d(dim * 2, 4, stride=2, padding=1)(x))
+            x = ConvINAct(dim * 2, 4, stride=2, padding=1, norm="none", act="relu")(x)
             dim *= 2
         for _ in range(self.n_downsample - 2):
-            x = nn.relu(Conv1d(dim, 4, stride=2, padding=1)(x))
+            x = ConvINAct(dim, 4, stride=2, padding=1, norm="none", act="relu")(x)
         x = jnp.mean(x, axis=-2, keepdims=True)  # AdaptiveAvgPool1d(1)
         cat = Conv1d(self.style_dim, 1)(x)  # (B, 1, style_dim)
         return cat.reshape(cat.shape[0], self.style_dim)  # (B, style_dim)
@@ -206,18 +217,27 @@ class Encoder(nn.Module):
                 self.dim * 4, self.n_downsample - 2, self.style_dim,
                 name="env_encoder",
             )(xin)
-        else:
-            if self.expand:
-                # (B, L) -> (B, L, L, 1): row i of the image is x broadcast
-                # along columns (reference models.py:55).
-                xin = jnp.broadcast_to(x[:, :, None], (b, l, l))[..., None]
-            else:
-                xin = x.reshape(b, l, 1, 1)
+        elif self.conv_type == 2 and self.expand:
+            # (B, L) -> (B, L, L, 1): row i of the image is x broadcast
+            # along columns (reference models.py:55).
+            xin = jnp.broadcast_to(x[:, :, None], (b, l, l))[..., None]
             range_code = RangeEncoder2d(
                 self.dim, self.n_residual, self.n_downsample, self.out_dim,
                 name="range_encoder",
             )(xin)
             cat = EnvEncoder2d(
+                self.dim * 4, self.n_downsample - 2, self.style_dim,
+                name="env_encoder",
+            )(xin)
+        else:
+            # conv_type=3 (or conv_type=2 without expand): column image
+            # (B, L, 1, 1) with (k,1) kernels (reference models.py:218-255)
+            xin = x.reshape(b, l, 1, 1)
+            range_code = RangeEncoder2dNoExpand(
+                self.dim, self.n_residual, self.n_downsample, self.out_dim,
+                name="range_encoder",
+            )(xin)
+            cat = EnvEncoder2dNoExpand(
                 self.dim * 4, self.n_downsample - 2, self.style_dim,
                 name="env_encoder",
             )(xin)

@@ -103,6 +103,42 @@ class RestorerConv2d(nn.Module):
         return Dense(1)(x)
 
 
+class RestorerConv2dNoExpand(nn.Module):
+    """Column-image restorer: pool the code to (32,1), four (4,1)-strided
+    conv blocks down to (2,1)x128, linear head (reference models.py:779-830;
+    its ctor is broken there — ``code_shape.size(0)`` on a tuple — the
+    intended structure is implemented)."""
+
+    soft: bool = False
+
+    @nn.compact
+    def __call__(self, range_code, *, train: bool = False, sample_key: Optional[jax.Array] = None):
+        from iinsvae_tpu.ops.pooling import adaptive_avg_pool2d
+
+        x = range_code  # (B, L, 1, C)
+        if x.ndim == 3:
+            x = x[:, :, None, :]
+        x = adaptive_avg_pool2d(x, (32, 1))
+        pad = ((1, 1), (0, 0))
+        filters = 16
+        for i in range(4):  # (32,1) -> (16,1) -> (8,1) -> (4,1) -> (2,1)
+            x = nn.leaky_relu(
+                Conv2d(filters, (4, 1), stride=(2, 1), padding=pad)(x), 0.2
+            )
+            x = nn.Dropout(0.25, deterministic=not train)(x)
+            if i > 0:
+                x = BatchNormEps()(x, use_running_average=not train)
+            filters *= 2
+        x = x.reshape(x.shape[0], -1)  # (B, 256)
+        if self.soft:
+            out = Dense(2)(x)
+            mu, logvar = out[:, 0:1], out[:, 1:2]
+            if sample_key is None:
+                return mu
+            return _soft_sample(sample_key, mu, logvar)
+        return Dense(1)(x)
+
+
 class ClassifierLinear(nn.Module):
     """env_dim -> filters -> 2*filters -> filters -> num_classes
     (reference models.py:838-862; default LeakyReLU slope 0.01 between
@@ -173,6 +209,8 @@ class Restorer(nn.Module):
             head = RestorerConv1d(self.soft, self.conv_type, self.expand, name="restorer")
         elif self.net_type == "Conv2d":
             head = RestorerConv2d(self.soft, self.conv_type, self.expand, name="restorer")
+        elif self.net_type == "Conv2dNoExpand":
+            head = RestorerConv2dNoExpand(self.soft, name="restorer")
         else:
             raise ValueError(f"Unknown network type for Restorer: {self.net_type}")
         return head(range_code, train=train, sample_key=sample_key)

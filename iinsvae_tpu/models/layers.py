@@ -122,6 +122,86 @@ class Conv2d(nn.Module):
         )
 
 
+class ConvINAct(nn.Module):
+    """Fused Conv1d + {InstanceNorm|nothing} + {relu|tanh|none} [+ skip add].
+
+    On TPU (batch <= MAX_FUSED_BATCH) this is ONE Pallas kernel forward and
+    one backward (ops/pallas/fused.py); otherwise it composes the same math
+    from the dense-conv matmul and norm ops. No bias is created under
+    InstanceNorm — a pre-IN bias is normalized away and gets zero gradient
+    (exactly the reference's effective behavior, models.py:151-152).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    pad_mode: str = "zero"
+    norm: str = "in"  # 'in' | 'none'
+    act: str = "relu"  # 'relu' | 'tanh' | 'none'
+    kernel_init: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x, residual: Optional[jnp.ndarray] = None):
+        b, l_in, c_in = x.shape
+        kinit = self.kernel_init or conv_normal_init()
+        kernel = self.param("kernel", kinit, (self.kernel_size, c_in, self.features))
+        bias = None
+        if self.norm == "none":
+            bias = self.param(
+                "bias", _bias_uniform_init(c_in * self.kernel_size), (self.features,)
+            )
+        l_out = (l_in + 2 * self.padding - self.kernel_size) // self.stride + 1
+
+        from iinsvae_tpu.ops.pallas.fused import (
+            fused_dense_layer,
+            pallas_enabled,
+            MAX_FUSED_BATCH,
+        )
+
+        # dense lowering only while the (K, N) layer matrix stays small
+        # (4 MB); beyond that (e.g. the env encoder's 2048x2048 stages) the
+        # im2col path wins and the fused kernel would blow VMEM.
+        k_n = (l_in * c_in) * (l_out * self.features)
+        dense_ok = k_n <= 1_048_576
+
+        if pallas_enabled() and b <= MAX_FUSED_BATCH and dense_ok:
+            m = dense_ops.dense_conv_matrix(
+                kernel.astype(x.dtype), l_in, stride=self.stride,
+                padding=self.padding, pad_mode=self.pad_mode,
+            )
+            full_bias = None
+            if bias is not None:
+                full_bias = jnp.tile(bias.astype(x.dtype), l_out)
+            out = fused_dense_layer(
+                x.reshape(b, l_in * c_in),
+                m,
+                l_out=l_out,
+                c_out=self.features,
+                norm=self.norm,
+                act=self.act,
+                residual=None if residual is None else residual.reshape(b, -1),
+                bias=full_bias,
+            )
+            return out.reshape(b, l_out, self.features)
+
+        # unfused reference path — identical math
+        conv_fn = dense_ops.conv1d_dense if dense_ok else conv_ops.conv1d
+        y = conv_fn(
+            x, kernel, bias, stride=self.stride, padding=self.padding,
+            pad_mode=self.pad_mode,
+        )
+        if self.norm == "in":
+            y = norm_ops.instance_norm(y)
+        if self.act == "relu":
+            y = nn.relu(y)
+        elif self.act == "tanh":
+            y = jnp.tanh(y)
+        if residual is not None:
+            y = y + residual
+        return y
+
+
 class Dense(nn.Module):
     """Linear layer with torch-default init."""
 
@@ -224,19 +304,19 @@ class ResidualBlock1d(nn.Module):
 
     @nn.compact
     def __call__(self, x, adain_params: Optional[Sequence] = None):
+        if self.norm == "in":
+            # two fused kernels: conv+IN+relu, then conv+IN(+skip add)
+            y = ConvINAct(self.features, 3, padding=1, pad_mode="reflect",
+                          norm="in", act="relu")(x)
+            return ConvINAct(self.features, 3, padding=1, pad_mode="reflect",
+                             norm="in", act="none")(y, residual=x)
         y = Conv1d(self.features, 3, padding=1, pad_mode="reflect")(x)
-        if self.norm == "adain":
-            g1, b1 = adain_params[0]
-            y = norm_ops.adain(y, g1, b1)
-        else:
-            y = norm_ops.instance_norm(y)
+        g1, b1 = adain_params[0]
+        y = norm_ops.adain(y, g1, b1)
         y = nn.relu(y)
         y = Conv1d(self.features, 3, padding=1, pad_mode="reflect")(y)
-        if self.norm == "adain":
-            g2, b2 = adain_params[1]
-            y = norm_ops.adain(y, g2, b2)
-        else:
-            y = norm_ops.instance_norm(y)
+        g2, b2 = adain_params[1]
+        y = norm_ops.adain(y, g2, b2)
         return x + y
 
 

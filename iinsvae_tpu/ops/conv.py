@@ -30,13 +30,17 @@ def reflect_pad1d(x: jnp.ndarray, pad: int) -> jnp.ndarray:
     return jnp.pad(x, widths, mode="reflect")
 
 
-def reflect_pad2d(x: jnp.ndarray, pad: int) -> jnp.ndarray:
-    """Reflection padding on the H and W axes of (..., H, W, C)."""
-    if pad == 0:
-        return x
+def reflect_pad2d(x: jnp.ndarray, pad) -> jnp.ndarray:
+    """Reflection padding on the H and W axes of (..., H, W, C).
+
+    pad: int (both axes) or ((ph_lo, ph_hi), (pw_lo, pw_hi))."""
+    if isinstance(pad, int):
+        pad = ((pad, pad), (pad, pad))
     widths = [(0, 0)] * x.ndim
-    widths[-3] = (pad, pad)
-    widths[-2] = (pad, pad)
+    widths[-3] = tuple(pad[0])
+    widths[-2] = tuple(pad[1])
+    if all(w == (0, 0) for w in widths):
+        return x
     return jnp.pad(x, widths, mode="reflect")
 
 
@@ -104,9 +108,9 @@ def conv2d(
     if isinstance(padding, int):
         pads = ((padding, padding), (padding, padding))
     else:
-        pads = tuple(padding)
-    if pad_mode == "reflect" and any(p != (0, 0) and p != 0 for p in pads):
-        x = reflect_pad2d(x, pads[0][0] if isinstance(pads[0], tuple) else pads[0])
+        pads = tuple(tuple(p) for p in padding)
+    if pad_mode == "reflect" and any(p != (0, 0) for p in pads):
+        x = reflect_pad2d(x, pads)
         pads = ((0, 0), (0, 0))
     y = lax.conv_general_dilated(
         x,

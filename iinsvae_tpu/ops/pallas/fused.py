@@ -1,0 +1,332 @@
+"""Pallas TPU kernels: fused (matmul + InstanceNorm + activation [+ skip]).
+
+Every hot layer in the model is, after the dense-conv lowering
+(ops/dense_conv.py), a (B, K) @ (K, N) matmul followed by an instance norm
+over the length axis and an activation — executed by XLA as ~6 separate
+HBM-round-trip kernels. This module collapses each layer into ONE Pallas
+kernel forward and ONE backward, with a formulation that keeps every value
+2-D (Mosaic rejects (B, N) -> (B, L, C) vector reshapes when C < 128 lanes):
+
+  * the flat layout is n = l*C + c; the IN mean over l is a LINEAR map, so
+    mean-centering is folded into the weight matrix OUTSIDE the kernel:
+    M_c = M - groupmean_L(M) makes d = x @ M_c already centered;
+  * the per-(b,c) biased variance, broadcast back over l, is one matmul
+    with the constant symmetric projector P_mu[(l,c),(l',c')] = [c==c']/L:
+    v = (d*d) @ P_mu;  yh = d * rsqrt(v + eps);  out = act(yh) [+ res].
+
+Backward (custom VJP, residuals d and r = rsqrt(v+eps); relu mask is d>0
+because r > 0):
+
+  gyh = act'(g);  A = gyh * d * r^3
+  gd  = r * gyh - d * (A @ P_mu)        # P_mu symmetric
+  gx  = gd @ M_c^T;   gM_c = x^T @ gd   # one kernel, both outputs
+
+The matmuls hit the MXU; the norm/act algebra runs on the VPU while tiles
+are VMEM-resident — no intermediate HBM traffic. Whole-batch blocks: at the
+model's sizes ((B<=2048, K,N<=1024) f32) every operand fits VMEM, so
+grid=(1,); larger batches fall back to the unfused path in the caller.
+
+Supported configs (all encoder stages use one of these):
+  norm in {'in', 'none'}, act in {'relu', 'tanh', 'none'},
+  optional residual add (requires act='none'), optional bias (norm='none'
+  only; a bias before IN is a no-op with zero gradient, matching the
+  reference torch modules, models.py:151-152).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-5
+
+_ENABLED = True
+
+
+def set_pallas_enabled(on: bool) -> None:
+    global _ENABLED
+    _ENABLED = bool(on)
+
+
+def pallas_enabled() -> bool:
+    return _ENABLED
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _vmem():
+    return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+@functools.lru_cache(maxsize=None)
+def _pmu_np(l_out: int, c_out: int) -> np.ndarray:
+    """P_mu[(l,c),(l',c')] = [c == c'] / L — group-mean projector."""
+    n = l_out * c_out
+    p = np.zeros((n, n), dtype=np.float32)
+    for c in range(c_out):
+        idx = np.arange(l_out) * c_out + c
+        p[np.ix_(idx, idx)] = 1.0 / l_out
+    return p
+
+
+def center_matrix(m: jnp.ndarray, l_out: int, c_out: int) -> jnp.ndarray:
+    """M -> M - groupmean_L(M): makes x @ M_c zero-mean over l per (b, c)."""
+    k = m.shape[0]
+    m3 = m.reshape(k, l_out, c_out)
+    return (m3 - jnp.mean(m3, axis=1, keepdims=True)).reshape(k, l_out * c_out)
+
+
+def _act_fwd(y, act):
+    if act == "relu":
+        return jnp.maximum(y, 0.0)
+    if act == "tanh":
+        return jnp.tanh(y)
+    return y
+
+
+# ------------------------- kernels -------------------------
+
+
+def _fwd_in_kernel(act, has_res, refs):
+    if has_res:
+        x_ref, mc_ref, pmu_ref, res_ref, out_ref, d_ref, r_ref = refs
+    else:
+        x_ref, mc_ref, pmu_ref, out_ref, d_ref, r_ref = refs
+    d = jnp.dot(x_ref[:], mc_ref[:], preferred_element_type=jnp.float32)
+    v = jnp.dot(d * d, pmu_ref[:], preferred_element_type=jnp.float32)
+    r = jax.lax.rsqrt(v + _EPS)
+    yh = d * r
+    out = _act_fwd(yh, act)
+    if has_res:
+        out = out + res_ref[:]
+    out_ref[:] = out
+    d_ref[:] = d
+    r_ref[:] = r
+
+
+def _bwd_in_kernel(act, refs):
+    g_ref, d_ref, r_ref, x_ref, mc_ref, pmu_ref, dx_ref, dm_ref = refs
+    g = g_ref[:]
+    d = d_ref[:]
+    r = r_ref[:]
+    if act == "relu":
+        gyh = jnp.where(d > 0, g, 0.0)
+    elif act == "tanh":
+        t = jnp.tanh(d * r)
+        gyh = g * (1.0 - t * t)
+    else:
+        gyh = g
+    a = gyh * d * (r * r * r)
+    gd = r * gyh - d * jnp.dot(a, pmu_ref[:], preferred_element_type=jnp.float32)
+    dx_ref[:] = jnp.dot(gd, mc_ref[:].T, preferred_element_type=jnp.float32)
+    dm_ref[:] = jnp.dot(x_ref[:].T, gd, preferred_element_type=jnp.float32)
+
+
+def _fwd_nonorm_kernel(act, has_bias, refs):
+    if has_bias:
+        x_ref, m_ref, b_ref, out_ref = refs
+    else:
+        x_ref, m_ref, out_ref = refs
+    y = jnp.dot(x_ref[:], m_ref[:], preferred_element_type=jnp.float32)
+    if has_bias:
+        y = y + b_ref[:]
+    out_ref[:] = _act_fwd(y, act)
+
+
+def _bwd_nonorm_kernel(act, has_bias, refs):
+    if has_bias:
+        g_ref, out_ref, x_ref, m_ref, dx_ref, dm_ref, db_ref = refs
+    else:
+        g_ref, out_ref, x_ref, m_ref, dx_ref, dm_ref = refs
+    g = g_ref[:]
+    out = out_ref[:]
+    if act == "relu":
+        dz = jnp.where(out > 0, g, 0.0)
+    elif act == "tanh":
+        dz = g * (1.0 - out * out)
+    else:
+        dz = g
+    dx_ref[:] = jnp.dot(dz, m_ref[:].T, preferred_element_type=jnp.float32)
+    dm_ref[:] = jnp.dot(x_ref[:].T, dz, preferred_element_type=jnp.float32)
+    if has_bias:
+        db_ref[:] = jnp.sum(dz, axis=0, keepdims=True)
+
+
+# ------------------------- custom-vjp wrappers -------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _make_in_layer(l_out: int, c_out: int, act: str, has_res: bool):
+    n = l_out * c_out
+
+    def fwd_call(x, mc, *res):
+        b = x.shape[0]
+        pmu = jnp.asarray(_pmu_np(l_out, c_out))
+        kern = lambda *refs: _fwd_in_kernel(act, has_res, refs)
+        return pl.pallas_call(
+            kern,
+            out_shape=(
+                jax.ShapeDtypeStruct((b, n), x.dtype),
+                jax.ShapeDtypeStruct((b, n), x.dtype),
+                jax.ShapeDtypeStruct((b, n), x.dtype),
+            ),
+            in_specs=[_vmem()] * (4 if has_res else 3),
+            out_specs=(_vmem(), _vmem(), _vmem()),
+            interpret=_interpret(),
+        )(x, mc, pmu, *res)
+
+    def bwd_call(g, d, r, x, mc):
+        pmu = jnp.asarray(_pmu_np(l_out, c_out))
+        kern = lambda *refs: _bwd_in_kernel(act, refs)
+        return pl.pallas_call(
+            kern,
+            out_shape=(
+                jax.ShapeDtypeStruct(x.shape, x.dtype),
+                jax.ShapeDtypeStruct(mc.shape, mc.dtype),
+            ),
+            in_specs=[_vmem()] * 6,
+            out_specs=(_vmem(), _vmem()),
+            interpret=_interpret(),
+        )(g, d, r, x, mc, pmu)
+
+    if has_res:
+
+        @jax.custom_vjp
+        def layer(x, mc, res):
+            return fwd_call(x, mc, res)[0]
+
+        def layer_fwd(x, mc, res):
+            out, d, r = fwd_call(x, mc, res)
+            return out, (x, mc, d, r)
+
+        def layer_bwd(saved, g):
+            x, mc, d, r = saved
+            dx, dm = bwd_call(g, d, r, x, mc)
+            return dx, dm, g  # skip connection passes the cotangent through
+
+        layer.defvjp(layer_fwd, layer_bwd)
+        return layer
+
+    @jax.custom_vjp
+    def layer(x, mc):
+        return fwd_call(x, mc)[0]
+
+    def layer_fwd(x, mc):
+        out, d, r = fwd_call(x, mc)
+        return out, (x, mc, d, r)
+
+    def layer_bwd(saved, g):
+        x, mc, d, r = saved
+        dx, dm = bwd_call(g, d, r, x, mc)
+        return dx, dm
+
+    layer.defvjp(layer_fwd, layer_bwd)
+    return layer
+
+
+@functools.lru_cache(maxsize=None)
+def _make_nonorm_layer(act: str, has_bias: bool):
+    def fwd_call(x, m, *bias):
+        b = x.shape[0]
+        kern = lambda *refs: _fwd_nonorm_kernel(act, has_bias, refs)
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((b, m.shape[1]), x.dtype),
+            in_specs=[_vmem()] * (3 if has_bias else 2),
+            out_specs=_vmem(),
+            interpret=_interpret(),
+        )(x, m, *bias)
+
+    def bwd_call(g, out, x, m):
+        kern = lambda *refs: _bwd_nonorm_kernel(act, has_bias, refs)
+        out_shape = [
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct(m.shape, m.dtype),
+        ]
+        if has_bias:
+            out_shape.append(jax.ShapeDtypeStruct((1, m.shape[1]), x.dtype))
+        return pl.pallas_call(
+            kern,
+            out_shape=tuple(out_shape),
+            in_specs=[_vmem()] * 4,
+            out_specs=tuple([_vmem()] * len(out_shape)),
+            interpret=_interpret(),
+        )(g, out, x, m)
+
+    if has_bias:
+
+        @jax.custom_vjp
+        def layer(x, m, bias):
+            return fwd_call(x, m, bias)
+
+        def layer_fwd(x, m, bias):
+            out = fwd_call(x, m, bias)
+            return out, (x, m, out)
+
+        def layer_bwd(saved, g):
+            x, m, out = saved
+            dx, dm, db = bwd_call(g, out, x, m)
+            return dx, dm, db
+
+        layer.defvjp(layer_fwd, layer_bwd)
+        return layer
+
+    @jax.custom_vjp
+    def layer(x, m):
+        return fwd_call(x, m)
+
+    def layer_fwd(x, m):
+        out = fwd_call(x, m)
+        return out, (x, m, out)
+
+    def layer_bwd(saved, g):
+        x, m, out = saved
+        dx, dm = bwd_call(g, out, x, m)
+        return dx, dm
+
+    layer.defvjp(layer_fwd, layer_bwd)
+    return layer
+
+
+# ------------------------- public entry -------------------------
+
+MAX_FUSED_BATCH = 2048
+
+
+def fused_dense_layer(
+    x: jnp.ndarray,
+    m: jnp.ndarray,
+    *,
+    l_out: int,
+    c_out: int,
+    norm: str = "in",
+    act: str = "relu",
+    residual: jnp.ndarray | None = None,
+    bias: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """x (B, K) @ m (K, L_out*C_out) -> (B, L_out*C_out), fused norm + act.
+
+    residual: (B, L_out*C_out) added after the norm (act must be 'none').
+    bias: (L_out*C_out,) pre-activation row vector (norm='none' only).
+    """
+    assert m.shape[1] == l_out * c_out
+    if norm == "in":
+        assert bias is None, "bias before InstanceNorm is a no-op"
+        mc = center_matrix(m, l_out, c_out)  # differentiable fold, outside
+        layer = _make_in_layer(l_out, c_out, act, residual is not None)
+        if residual is not None:
+            assert act == "none"
+            return layer(x, mc, residual)
+        return layer(x, mc)
+    assert norm == "none" and residual is None
+    layer = _make_nonorm_layer(act, bias is not None)
+    if bias is not None:
+        return layer(x, m, bias.reshape(1, -1))
+    return layer(x, m)

@@ -1,0 +1,100 @@
+"""Pallas fused-kernel parity tests (interpret mode on the CPU platform).
+
+The fused path must be numerically equivalent (float noise only) to the
+composed dense-conv + norm + act path for both forward values and VJPs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iinsvae_tpu.ops.dense_conv import conv1d_dense, dense_conv_matrix
+from iinsvae_tpu.ops.norms import instance_norm
+from iinsvae_tpu.ops.pallas.fused import fused_dense_layer, set_pallas_enabled
+from iinsvae_tpu.models import IInsVAE
+
+
+@pytest.fixture(autouse=True)
+def _reset_pallas():
+    set_pallas_enabled(True)
+    yield
+    set_pallas_enabled(True)
+
+
+def _ref_layer(x2, kernel, l_in, c_in, norm, act, stride, padding, pad_mode, residual=None, bias=None):
+    x = x2.reshape(x2.shape[0], l_in, c_in)
+    y = conv1d_dense(x, kernel, bias, stride=stride, padding=padding, pad_mode=pad_mode)
+    if norm == "in":
+        y = instance_norm(y)
+    if act == "relu":
+        y = jax.nn.relu(y)
+    elif act == "tanh":
+        y = jnp.tanh(y)
+    if residual is not None:
+        y = y + residual.reshape(y.shape)
+    return y.reshape(y.shape[0], -1)
+
+
+@pytest.mark.parametrize(
+    "l_in,c_in,c_out,k,stride,pad,pad_mode,norm,act,res,bias",
+    [
+        (128, 1, 4, 7, 1, 3, "reflect", "in", "relu", False, False),
+        (128, 4, 8, 4, 2, 1, "zero", "in", "relu", False, False),
+        (8, 64, 64, 3, 1, 1, "reflect", "in", "relu", False, False),
+        (8, 64, 64, 3, 1, 1, "reflect", "in", "none", True, False),
+        (128, 1, 4, 7, 1, 3, "reflect", "none", "relu", False, True),
+        (8, 64, 2, 1, 1, 0, "zero", "none", "relu", False, True),
+        (128, 4, 1, 7, 1, 3, "reflect", "none", "tanh", False, True),
+    ],
+)
+def test_fused_layer_matches_composed(rng, l_in, c_in, c_out, k, stride, pad, pad_mode, norm, act, res, bias):
+    b = 6
+    l_out = (l_in + 2 * pad - k) // stride + 1
+    x2 = jnp.asarray(rng.normal(size=(b, l_in * c_in)), jnp.float32)
+    kernel = jnp.asarray(rng.normal(size=(k, c_in, c_out)) * 0.2, jnp.float32)
+    residual = (
+        jnp.asarray(rng.normal(size=(b, l_out * c_out)), jnp.float32) if res else None
+    )
+    bias_v = jnp.asarray(rng.normal(size=(c_out,)), jnp.float32) if bias else None
+
+    def fused(x2, kernel, *extra):
+        m = dense_conv_matrix(kernel, l_in, stride=stride, padding=pad, pad_mode=pad_mode)
+        fb = jnp.tile(bias_v, l_out) if bias else None
+        return fused_dense_layer(
+            x2, m, l_out=l_out, c_out=c_out, norm=norm, act=act,
+            residual=residual, bias=fb,
+        )
+
+    got = fused(x2, kernel)
+    want = _ref_layer(x2, kernel, l_in, c_in, norm, act, stride, pad, pad_mode, residual, bias_v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    # VJP parity
+    g1 = jax.grad(lambda a, w: fused(a, w).sum())(x2, kernel)
+    g0 = jax.grad(
+        lambda a, w: _ref_layer(a, w, l_in, c_in, norm, act, stride, pad, pad_mode, residual, bias_v).sum()
+    )(x2, kernel)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-3, atol=1e-4)
+    gk1 = jax.grad(lambda w: fused(x2, w).sum())(kernel)
+    gk0 = jax.grad(
+        lambda w: _ref_layer(x2, w, l_in, c_in, norm, act, stride, pad, pad_mode, residual, bias_v).sum()
+    )(kernel)
+    np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk0), rtol=1e-3, atol=2e-4)
+
+
+def test_full_model_fused_vs_unfused_grads(rng):
+    x = jnp.asarray(rng.normal(size=(8, 157)), jnp.float32)
+    m = IInsVAE(cir_len=157, num_classes=5)
+    v = m.init({"params": jax.random.PRNGKey(0)}, x)
+
+    def loss(p, on):
+        set_pallas_enabled(on)
+        out = m.apply({"params": p, "batch_stats": {}}, x)
+        return out["recon"].sum() + out["err_est"].sum() + out["logits"].sum() + out["kl"]
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(v["params"])
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(v["params"])
+    assert abs(float(l1) - float(l0)) < 1e-3
+    md = max(jax.tree.leaves(jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g1, g0)))
+    assert md < 5e-3
