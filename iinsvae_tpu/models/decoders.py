@@ -13,6 +13,7 @@ layers of residual block 0 first, then block 1, etc.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -37,7 +38,17 @@ def slice_adain_params(adain_params: jnp.ndarray, n_blocks: int, features: int):
 
 
 class Decoder1d(nn.Module):
-    """(B, 8, out_dim) + (B, style_dim) -> (B, in_dim) (reference models.py:405-471)."""
+    """(B, 8, out_dim) + (B, style_dim) -> (B, in_dim) (reference models.py:405-471).
+
+    Declares its conv kernels / affine params explicitly so the SAME param
+    tree drives either lowering:
+      * fused (TPU): one Pallas kernel per stage — AdaIN residual stages,
+        upsample+conv+SampleLayerNorm+relu stages (upsample folded into the
+        dense matrix), and a final tanh+adaptive-pool kernel;
+      * composed: the reference op sequence, identical math.
+    AdaIN-stage convs carry no bias (normalized away; zero-grad in the
+    reference too).
+    """
 
     dim: int = 4
     n_residual: int = 3
@@ -48,21 +59,110 @@ class Decoder1d(nn.Module):
 
     @nn.compact
     def __call__(self, range_code, env_code):
+        from iinsvae_tpu.models.layers import (
+            conv_normal_init,
+            _bias_uniform_init,
+        )
+        from iinsvae_tpu.ops import dense_conv as dense_ops
+        from iinsvae_tpu.ops import norms as norm_ops
+        from iinsvae_tpu.ops.conv import conv1d
+        from iinsvae_tpu.ops.pallas import fused as pf
+        from iinsvae_tpu.ops.pooling import adaptive_avg_pool_matrix
+
+        b = range_code.shape[0]
+        l0 = range_code.shape[1]  # 8
         dim = self.dim * 2**self.n_upsample  # 64
         num_adain = self.n_residual * 2 * 2 * dim
         adain_params = MLP(num_adain, name="mlp")(env_code)
         per_block = slice_adain_params(adain_params, self.n_residual, dim)
 
-        x = nn.relu(Conv1d(dim, 1)(range_code))
+        # ---- params ----
+        in_kernel = self.param("in_kernel", conv_normal_init(), (1, self.out_dim, dim))
+        in_bias = self.param("in_bias", _bias_uniform_init(self.out_dim), (dim,))
+        blk_kernels = [
+            (
+                self.param(f"res{i}_kernel1", conv_normal_init(), (3, dim, dim)),
+                self.param(f"res{i}_kernel2", conv_normal_init(), (3, dim, dim)),
+            )
+            for i in range(self.n_residual)
+        ]
+        up_kernels, up_gammas, up_betas, up_dims = [], [], [], []
+        d = dim
+        for j in range(self.n_upsample):
+            up_kernels.append(
+                self.param(f"up{j}_kernel", conv_normal_init(), (5, d, d // 2))
+            )
+            up_gammas.append(
+                self.param(f"up{j}_gamma", lambda k, s: jax.random.uniform(k, s), (d // 2,))
+            )
+            up_betas.append(self.param(f"up{j}_beta", nn.initializers.zeros, (d // 2,)))
+            up_dims.append((d, d // 2))
+            d //= 2
+        out_kernel = self.param("out_kernel", conv_normal_init(), (7, d, 1))
+        out_bias = self.param("out_bias", _bias_uniform_init(d * 7), (1,))
+
+        use_fused = pf.pallas_enabled() and b <= pf.MAX_FUSED_BATCH
+
+        if use_fused:
+            x2 = range_code.reshape(b, l0 * self.out_dim)
+            m_in = dense_ops.dense_conv_matrix(in_kernel, l0)
+            x2 = pf.fused_dense_layer(
+                x2, m_in, l_out=l0, c_out=dim, norm="none", act="relu",
+                bias=jnp.tile(in_bias, l0),
+            )
+            for i in range(self.n_residual):
+                (g1, b1), (g2, b2) = per_block[i]
+                m1 = dense_ops.dense_conv_matrix(
+                    blk_kernels[i][0], l0, padding=1, pad_mode="reflect"
+                )
+                m2 = dense_ops.dense_conv_matrix(
+                    blk_kernels[i][1], l0, padding=1, pad_mode="reflect"
+                )
+                y2 = pf.fused_adain_layer(
+                    x2, m1, jnp.tile(g1, (1, l0)), jnp.tile(b1, (1, l0)),
+                    l_out=l0, c_out=dim, act="relu",
+                )
+                x2 = pf.fused_adain_layer(
+                    y2, m2, jnp.tile(g2, (1, l0)), jnp.tile(b2, (1, l0)),
+                    l_out=l0, c_out=dim, act="none", residual=x2,
+                )
+            l = l0
+            for j in range(self.n_upsample):
+                d_in, d_out = up_dims[j]
+                m_up = dense_ops.dense_upconv_matrix(up_kernels[j], l, padding=2)
+                l *= 2
+                x2 = pf.fused_sln_layer(
+                    x2, m_up,
+                    jnp.tile(up_gammas[j], l).reshape(1, -1),
+                    jnp.tile(up_betas[j], l).reshape(1, -1),
+                    n=l * d_out,
+                )
+            m_out = dense_ops.dense_conv_matrix(
+                out_kernel, l, padding=3, pad_mode="reflect"
+            )
+            pool = adaptive_avg_pool_matrix(l, self.in_dim)
+            out = pf.fused_tanh_pool_layer(
+                x2, m_out, jnp.tile(out_bias, l).reshape(1, -1), pool
+            )
+            return out
+
+        # ---- composed reference path (identical math) ----
+        x = range_code
+        x = nn.relu(
+            dense_ops.conv1d_dense(x, in_kernel, in_bias)
+        )
         for i in range(self.n_residual):
-            x = ResidualBlock1d(dim, norm="adain")(x, per_block[i])
-        for _ in range(self.n_upsample):
+            (g1, b1), (g2, b2) = per_block[i]
+            y = dense_ops.conv1d_dense(x, blk_kernels[i][0], None, padding=1, pad_mode="reflect")
+            y = nn.relu(norm_ops.adain(y, g1, b1))
+            y = dense_ops.conv1d_dense(y, blk_kernels[i][1], None, padding=1, pad_mode="reflect")
+            x = x + norm_ops.adain(y, g2, b2)
+        for j in range(self.n_upsample):
             x = upsample_nearest1d(x, 2)
-            x = Conv1d(dim // 2, 5, padding=2)(x)
-            x = SampleLayerNorm()(x)
+            x = conv1d(x, up_kernels[j], None, padding=2)
+            x = norm_ops.sample_layer_norm(x, up_gammas[j], up_betas[j])
             x = nn.relu(x)
-            dim //= 2
-        x = jnp.tanh(Conv1d(1, 7, padding=3, pad_mode="reflect")(x))
+        x = jnp.tanh(conv1d(x, out_kernel, out_bias, padding=3, pad_mode="reflect"))
         x = adaptive_avg_pool1d(x, self.in_dim)  # (B, in_dim, 1)
         return x.reshape(x.shape[0], self.in_dim)
 

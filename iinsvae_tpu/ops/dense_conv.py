@@ -49,6 +49,32 @@ def _selector_np(l_in: int, k: int, stride: int, padding: int, pad_mode: str) ->
     return s
 
 
+@functools.lru_cache(maxsize=None)
+def _upconv_selector_np(l_in: int, k: int, padding: int, factor: int) -> np.ndarray:
+    """Selector for (nearest-upsample x factor) o (conv k, stride 1, zero
+    pad): output o's tap kk reads PRE-upsample input i = (o*1 + kk - p)//factor.
+    Folding the upsample into the matrix makes each decoder stage one matmul."""
+    l_up = l_in * factor
+    l_out = l_up + 2 * padding - k + 1
+    s = np.zeros((k, l_in, l_out), dtype=np.float32)
+    for o in range(l_out):
+        for kk in range(k):
+            j = o + kk - padding
+            if 0 <= j < l_up:
+                s[kk, j // factor, o] += 1.0
+    return s
+
+
+def dense_upconv_matrix(
+    kernel: jnp.ndarray, l_in: int, *, padding: int, factor: int = 2
+) -> jnp.ndarray:
+    """kernel (k, C_in, C_out) -> matrix for upsample(factor)+conv."""
+    k, c_in, c_out = kernel.shape
+    s = jnp.asarray(_upconv_selector_np(l_in, k, padding, factor), kernel.dtype)
+    m = jnp.einsum("kio,kcd->icod", s, kernel)
+    return m.reshape(l_in * c_in, s.shape[-1] * c_out)
+
+
 def dense_conv_matrix(
     kernel: jnp.ndarray,
     l_in: int,

@@ -159,6 +159,287 @@ def _bwd_nonorm_kernel(act, has_bias, refs):
         db_ref[:] = jnp.sum(dz, axis=0, keepdims=True)
 
 
+# --------------------- decoder kernels: AdaIN / SLN / tanh+pool ---------------------
+
+
+def _fwd_adain_kernel(act, has_res, refs):
+    if has_res:
+        x_ref, mc_ref, pmu_ref, gf_ref, bf_ref, res_ref, out_ref, d_ref, r_ref = refs
+    else:
+        x_ref, mc_ref, pmu_ref, gf_ref, bf_ref, out_ref, d_ref, r_ref = refs
+    d = jnp.dot(x_ref[:], mc_ref[:], preferred_element_type=jnp.float32)
+    v = jnp.dot(d * d, pmu_ref[:], preferred_element_type=jnp.float32)
+    r = jax.lax.rsqrt(v + _EPS)
+    out = (d * r) * gf_ref[:] + bf_ref[:]
+    if act == "relu":
+        out = jnp.maximum(out, 0.0)
+    if has_res:
+        out = out + res_ref[:]
+    out_ref[:] = out
+    d_ref[:] = d
+    r_ref[:] = r
+
+
+def _bwd_adain_kernel(act, refs):
+    g_ref, d_ref, r_ref, gf_ref, bf_ref, x_ref, mc_ref, pmu_ref, \
+        dx_ref, dm_ref, dgf_ref, dbf_ref = refs
+    g = g_ref[:]
+    d = d_ref[:]
+    r = r_ref[:]
+    gf = gf_ref[:]
+    yh = d * r
+    if act == "relu":
+        pre = yh * gf + bf_ref[:]
+        gaff = jnp.where(pre > 0, g, 0.0)
+    else:
+        gaff = g
+    dgf_ref[:] = gaff * yh
+    dbf_ref[:] = gaff
+    gyh = gaff * gf
+    a = gyh * d * (r * r * r)
+    gd = r * gyh - d * jnp.dot(a, pmu_ref[:], preferred_element_type=jnp.float32)
+    dx_ref[:] = jnp.dot(gd, mc_ref[:].T, preferred_element_type=jnp.float32)
+    dm_ref[:] = jnp.dot(x_ref[:].T, gd, preferred_element_type=jnp.float32)
+
+
+def _fwd_sln_kernel(n_feats, refs):
+    x_ref, mc_ref, gf_ref, bf_ref, out_ref, d_ref, t_ref = refs
+    d = jnp.dot(x_ref[:], mc_ref[:], preferred_element_type=jnp.float32)
+    ss = jnp.sum(d * d, axis=1, keepdims=True) / (n_feats - 1)  # unbiased
+    s = jnp.sqrt(ss)
+    t = 1.0 / (s + _EPS)  # torch-quirk denominator (std + eps)
+    out_ref[:] = jnp.maximum((d * t) * gf_ref[:] + bf_ref[:], 0.0)
+    d_ref[:] = d
+    t_ref[:] = t
+
+
+def _bwd_sln_kernel(n_feats, refs):
+    g_ref, d_ref, t_ref, gf_ref, bf_ref, x_ref, mc_ref, \
+        dx_ref, dm_ref, dgf_ref, dbf_ref = refs
+    g = g_ref[:]
+    d = d_ref[:]
+    t = t_ref[:]
+    gf = gf_ref[:]
+    yh = d * t
+    pre = yh * gf + bf_ref[:]
+    gaff = jnp.where(pre > 0, g, 0.0)
+    dgf_ref[:] = jnp.sum(gaff * yh, axis=0, keepdims=True)
+    dbf_ref[:] = jnp.sum(gaff, axis=0, keepdims=True)
+    gyh = gaff * gf
+    gt = jnp.sum(gyh * d, axis=1, keepdims=True)
+    s = 1.0 / t - _EPS  # recover s from t
+    gss = gt * (-(t * t)) / (2.0 * s)
+    gd = gyh * t + d * (2.0 * gss / (n_feats - 1))
+    dx_ref[:] = jnp.dot(gd, mc_ref[:].T, preferred_element_type=jnp.float32)
+    dm_ref[:] = jnp.dot(x_ref[:].T, gd, preferred_element_type=jnp.float32)
+
+
+def _fwd_tanhpool_kernel(refs):
+    x_ref, m_ref, bf_ref, pool_ref, out_ref, th_ref = refs
+    z = jnp.dot(x_ref[:], m_ref[:], preferred_element_type=jnp.float32) + bf_ref[:]
+    th = jnp.tanh(z)
+    th_ref[:] = th
+    out_ref[:] = jnp.dot(th, pool_ref[:], preferred_element_type=jnp.float32)
+
+
+def _bwd_tanhpool_kernel(refs):
+    g_ref, th_ref, x_ref, m_ref, pool_ref, dx_ref, dm_ref, dbf_ref = refs
+    th = th_ref[:]
+    gth = jnp.dot(g_ref[:], pool_ref[:].T, preferred_element_type=jnp.float32)
+    gz = gth * (1.0 - th * th)
+    dx_ref[:] = jnp.dot(gz, m_ref[:].T, preferred_element_type=jnp.float32)
+    dm_ref[:] = jnp.dot(x_ref[:].T, gz, preferred_element_type=jnp.float32)
+    dbf_ref[:] = jnp.sum(gz, axis=0, keepdims=True)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_adain_layer(l_out: int, c_out: int, act: str, has_res: bool):
+    n = l_out * c_out
+
+    def fwd_call(x, mc, gf, bf, *res):
+        b = x.shape[0]
+        pmu = jnp.asarray(_pmu_np(l_out, c_out))
+        kern = lambda *refs: _fwd_adain_kernel(act, has_res, refs)
+        return pl.pallas_call(
+            kern,
+            out_shape=(
+                jax.ShapeDtypeStruct((b, n), x.dtype),
+                jax.ShapeDtypeStruct((b, n), x.dtype),
+                jax.ShapeDtypeStruct((b, n), x.dtype),
+            ),
+            in_specs=[_vmem()] * (6 if has_res else 5),
+            out_specs=(_vmem(), _vmem(), _vmem()),
+            interpret=_interpret(),
+        )(x, mc, pmu, gf, bf, *res)
+
+    def bwd_call(g, d, r, gf, bf, x, mc):
+        pmu = jnp.asarray(_pmu_np(l_out, c_out))
+        kern = lambda *refs: _bwd_adain_kernel(act, refs)
+        return pl.pallas_call(
+            kern,
+            out_shape=(
+                jax.ShapeDtypeStruct(x.shape, x.dtype),
+                jax.ShapeDtypeStruct(mc.shape, mc.dtype),
+                jax.ShapeDtypeStruct(gf.shape, gf.dtype),
+                jax.ShapeDtypeStruct(bf.shape, bf.dtype),
+            ),
+            in_specs=[_vmem()] * 8,
+            out_specs=tuple([_vmem()] * 4),
+            interpret=_interpret(),
+        )(g, d, r, gf, bf, x, mc, pmu)
+
+    if has_res:
+
+        @jax.custom_vjp
+        def layer(x, mc, gf, bf, res):
+            return fwd_call(x, mc, gf, bf, res)[0]
+
+        def layer_fwd(x, mc, gf, bf, res):
+            out, d, r = fwd_call(x, mc, gf, bf, res)
+            return out, (x, mc, gf, bf, d, r)
+
+        def layer_bwd(saved, g):
+            x, mc, gf, bf, d, r = saved
+            dx, dm, dgf, dbf = bwd_call(g, d, r, gf, bf, x, mc)
+            return dx, dm, dgf, dbf, g
+
+        layer.defvjp(layer_fwd, layer_bwd)
+        return layer
+
+    @jax.custom_vjp
+    def layer(x, mc, gf, bf):
+        return fwd_call(x, mc, gf, bf)[0]
+
+    def layer_fwd(x, mc, gf, bf):
+        out, d, r = fwd_call(x, mc, gf, bf)
+        return out, (x, mc, gf, bf, d, r)
+
+    def layer_bwd(saved, g):
+        x, mc, gf, bf, d, r = saved
+        dx, dm, dgf, dbf = bwd_call(g, d, r, gf, bf, x, mc)
+        return dx, dm, dgf, dbf
+
+    layer.defvjp(layer_fwd, layer_bwd)
+    return layer
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sln_layer(n: int):
+    def fwd_call(x, mc, gf, bf):
+        b = x.shape[0]
+        kern = lambda *refs: _fwd_sln_kernel(n, refs)
+        return pl.pallas_call(
+            kern,
+            out_shape=(
+                jax.ShapeDtypeStruct((b, n), x.dtype),
+                jax.ShapeDtypeStruct((b, n), x.dtype),
+                jax.ShapeDtypeStruct((b, 1), x.dtype),
+            ),
+            in_specs=[_vmem()] * 4,
+            out_specs=(_vmem(), _vmem(), _vmem()),
+            interpret=_interpret(),
+        )(x, mc, gf, bf)
+
+    def bwd_call(g, d, t, gf, bf, x, mc):
+        kern = lambda *refs: _bwd_sln_kernel(n, refs)
+        return pl.pallas_call(
+            kern,
+            out_shape=(
+                jax.ShapeDtypeStruct(x.shape, x.dtype),
+                jax.ShapeDtypeStruct(mc.shape, mc.dtype),
+                jax.ShapeDtypeStruct(gf.shape, gf.dtype),
+                jax.ShapeDtypeStruct(bf.shape, bf.dtype),
+            ),
+            in_specs=[_vmem()] * 7,
+            out_specs=tuple([_vmem()] * 4),
+            interpret=_interpret(),
+        )(g, d, t, gf, bf, x, mc)
+
+    @jax.custom_vjp
+    def layer(x, mc, gf, bf):
+        return fwd_call(x, mc, gf, bf)[0]
+
+    def layer_fwd(x, mc, gf, bf):
+        out, d, t = fwd_call(x, mc, gf, bf)
+        return out, (x, mc, gf, bf, d, t)
+
+    def layer_bwd(saved, g):
+        x, mc, gf, bf, d, t = saved
+        dx, dm, dgf, dbf = bwd_call(g, d, t, gf, bf, x, mc)
+        return dx, dm, dgf, dbf
+
+    layer.defvjp(layer_fwd, layer_bwd)
+    return layer
+
+
+@functools.lru_cache(maxsize=None)
+def _make_tanhpool_layer(n_mid: int, n_out: int):
+    def fwd_call(x, m, bf, pool):
+        b = x.shape[0]
+        return pl.pallas_call(
+            lambda *refs: _fwd_tanhpool_kernel(refs),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, n_out), x.dtype),
+                jax.ShapeDtypeStruct((b, n_mid), x.dtype),
+            ),
+            in_specs=[_vmem()] * 4,
+            out_specs=(_vmem(), _vmem()),
+            interpret=_interpret(),
+        )(x, m, bf, pool)
+
+    def bwd_call(g, th, x, m, pool):
+        return pl.pallas_call(
+            lambda *refs: _bwd_tanhpool_kernel(refs),
+            out_shape=(
+                jax.ShapeDtypeStruct(x.shape, x.dtype),
+                jax.ShapeDtypeStruct(m.shape, m.dtype),
+                jax.ShapeDtypeStruct((1, n_mid), x.dtype),
+            ),
+            in_specs=[_vmem()] * 5,
+            out_specs=tuple([_vmem()] * 3),
+            interpret=_interpret(),
+        )(g, th, x, m, pool)
+
+    @jax.custom_vjp
+    def layer(x, m, bf, pool):
+        return fwd_call(x, m, bf, pool)[0]
+
+    def layer_fwd(x, m, bf, pool):
+        out, th = fwd_call(x, m, bf, pool)
+        return out, (x, m, pool, th)
+
+    def layer_bwd(saved, g):
+        x, m, pool, th = saved
+        dx, dm, dbf = bwd_call(g, th, x, m, pool)
+        return dx, dm, dbf, jnp.zeros_like(pool)
+
+    layer.defvjp(layer_fwd, layer_bwd)
+    return layer
+
+
+def fused_adain_layer(x, m, gamma_full, beta_full, *, l_out, c_out, act="none", residual=None):
+    """AdaIN stage: act(IN(x@M) * gamma + beta) [+ res]; gamma/beta (B, N)."""
+    mc = center_matrix(m, l_out, c_out)
+    layer = _make_adain_layer(l_out, c_out, act, residual is not None)
+    if residual is not None:
+        return layer(x, mc, gamma_full, beta_full, residual)
+    return layer(x, mc, gamma_full, beta_full)
+
+
+def fused_sln_layer(x, m, gamma_full, beta_full, *, n: int):
+    """Upsample+conv (already folded into m) + SampleLayerNorm + relu.
+    gamma_full/beta_full: (1, N) per-channel affine tiled over l."""
+    # SLN centering is over ALL outputs per sample -> subtract column mean
+    mc = m - jnp.mean(m, axis=1, keepdims=True)
+    return _make_sln_layer(n)(x, mc, gamma_full, beta_full)
+
+
+def fused_tanh_pool_layer(x, m, bias_full, pool):
+    """Final decoder stage: pool(tanh(x@M + b)) in one kernel."""
+    layer = _make_tanhpool_layer(m.shape[1], pool.shape[1])
+    return layer(x, m, bias_full, pool)
+
+
 # ------------------------- custom-vjp wrappers -------------------------
 
 

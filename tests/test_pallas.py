@@ -96,5 +96,15 @@ def test_full_model_fused_vs_unfused_grads(rng):
     l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(v["params"])
     l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(v["params"])
     assert abs(float(l1) - float(l0)) < 1e-3
-    md = max(jax.tree.leaves(jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), g1, g0)))
-    assert md < 5e-3
+    # scale-aware: per leaf, the worst element must be within 2e-3 of the
+    # leaf's grad magnitude (reduction-order float noise only)
+    def ok(a, b):
+        d = float(jnp.max(jnp.abs(a - b)))
+        s = float(jnp.max(jnp.abs(b)))
+        return d <= 1e-5 + 2e-3 * s
+    bad = [
+        jax.tree_util.keystr(p)
+        for (p, a), b in zip(jax.tree_util.tree_leaves_with_path(g1), jax.tree.leaves(g0))
+        if not ok(a, b)
+    ]
+    assert not bad, bad
