@@ -1,0 +1,63 @@
+"""Data-inspection driver: the reference's manual smoke-test mains
+(data_tools.py:453-486, dataset.py:139-241) as one command.
+
+  python -m iinsvae_tpu.cli.inspect_data --dataset_name zenodo --dataset_env room_full
+
+Prints shapes, value ranges (pre/post scaling), split sizes, pipeline wall
+time, and saves a sample-CIR plot.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from iinsvae_tpu.config import Config, parse
+from iinsvae_tpu.cli.common import resolve_data
+from iinsvae_tpu.data.zenodo import label_int2str
+from iinsvae_tpu.data.pipeline import UWBDataset
+
+
+def main(argv=None, cfg: Config | None = None):
+    cfg = cfg or parse(argv)
+    t0 = time.time()
+    data_train, data_test = resolve_data(cfg)
+    dt = time.time() - t0
+    train_cir, train_err, train_label = data_train
+    test_cir, _, _ = data_test
+
+    print(f"pipeline time: {dt:.2f}s")
+    print(f"train: cir {train_cir.shape} err {train_err.shape} label {train_label.shape}")
+    print(f"test:  cir {test_cir.shape}")
+    print(f"scaled cir range: ({train_cir.min():.4f}, {train_cir.max():.4f})")
+    print(f"err range: ({train_err.min():.4f}, {train_err.max():.4f})")
+    classes, counts = np.unique(train_label.astype(int), return_counts=True)
+    env = cfg.dataset_env if cfg.dataset_name == "zenodo" else "nlos"
+    for c, n in zip(classes, counts):
+        print(f"class {c} ({label_int2str(env, c)}): {n}")
+
+    ds = UWBDataset(data_train)
+    item = ds[0]
+    print("item shapes:", {k: v.shape for k, v in item.items()})
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    plt.plot(train_cir[0], color="blue")
+    out = os.path.join(
+        cfg.out_dir,
+        "%s_sample_%s.png" % (cfg.dataset_name, label_int2str(env, int(train_label[0][0]))),
+    )
+    plt.savefig(out)
+    plt.close()
+    print("wrote", out)
+    return data_train, data_test
+
+
+if __name__ == "__main__":
+    main()

@@ -64,7 +64,7 @@ def main(argv=None, cfg: Config | None = None):
         logger.info(f"resumed from epoch {cfg.epoch}")
 
     train_step = make_semi_train_step(
-        model, supervision_rate=cfg.supervision_rate
+        model, supervision_rate=cfg.supervision_rate, mask_mode=cfg.mask_mode
     )
     run_epoch = make_epoch_runner(train_step, cfg.batch_size)
 
@@ -77,20 +77,23 @@ def main(argv=None, cfg: Config | None = None):
     test_batch = to_batch_dict(data_test)
     eval_bs = min(500, test_batch["cir"].shape[0])
 
+    from iinsvae_tpu.utils.profiling import profile_trace
+
     final_state = state
-    for epoch in range(cfg.epoch, cfg.n_epochs):
-        final_state, metrics = run_epoch(final_state, train, jax.random.fold_in(key, epoch))
-        epoch_log(epoch, jax.tree.map(float, finalize_metrics(metrics)))
-        if cfg.checkpoint_interval != -1 and epoch % cfg.checkpoint_interval == 0:
-            save_checkpoint(model_path, epoch, final_state)
-        if cfg.sample_interval and epoch % cfg.sample_interval == 0 and epoch > 0:
-            m = evaluate_semi(
-                model, final_state, test_batch, eval_bs,
-                result_path=result_path, epoch=epoch,
-                dataset_env=cfg.dataset_env, dataset_name=cfg.dataset_name,
-            )
-            logger.info(f"[val epoch {epoch}] " + " ".join(
-                f"[{k}: {v:.6f}]" for k, v in m.items() if isinstance(v, float)))
+    with profile_trace(cfg.profile_dir or None):
+        for epoch in range(cfg.epoch, cfg.n_epochs):
+            final_state, metrics = run_epoch(final_state, train, jax.random.fold_in(key, epoch))
+            epoch_log(epoch, jax.tree.map(float, finalize_metrics(metrics)))
+            if cfg.checkpoint_interval != -1 and epoch % cfg.checkpoint_interval == 0:
+                save_checkpoint(model_path, epoch, final_state)
+            if cfg.sample_interval and epoch % cfg.sample_interval == 0 and epoch > 0:
+                m = evaluate_semi(
+                    model, final_state, test_batch, eval_bs,
+                    result_path=result_path, epoch=epoch,
+                    dataset_env=cfg.dataset_env, dataset_name=cfg.dataset_name,
+                )
+                logger.info(f"[val epoch {epoch}] " + " ".join(
+                    f"[{k}: {v:.6f}]" for k, v in m.items() if isinstance(v, float)))
 
     save_checkpoint(model_path, cfg.n_epochs, final_state)
     m = evaluate_semi(

@@ -71,6 +71,8 @@ class Config:
     checkpoint_interval: int = 50
     # semi (train_semi.py:34)
     supervision_rate: float = 0.1
+    mask_mode: str = "sample"  # sample (intent) | batch (reference literal)
+    profile_dir: str = ""  # jax.profiler trace dir ('' = off)
     # runtime (new)
     seed: int = 0
     data_root: str = "./data/data_zenodo/dataset.pkl"
@@ -140,6 +142,8 @@ def add_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     a("--sample_interval", type=int, default=d.sample_interval)
     a("--checkpoint_interval", type=int, default=d.checkpoint_interval)
     a("--supervision_rate", type=float, default=d.supervision_rate)
+    a("--mask_mode", type=str, default=d.mask_mode, choices=["sample", "batch"])
+    a("--profile_dir", type=str, default=d.profile_dir, help="write a jax.profiler trace here")
     a("--seed", type=int, default=d.seed)
     a("--data_root", type=str, default=d.data_root)
     a("--out_dir", type=str, default=d.out_dir)

@@ -52,6 +52,17 @@ def extract_reg_arrays(input_arr: np.ndarray):
     return cir, err, label
 
 
+def load_cls_data(paths, seed: int = 0):
+    """NLOS-classification view of the same rows: (cir, label).
+
+    The reference imports this from data_tools for the ewine path
+    (dataset.py:24) but never defines it anywhere — reconstructed from the
+    call site's unpack ``label, cir = load_cls_data(...)``.
+    """
+    cir, _err, label = load_reg_data(paths, seed=seed)
+    return cir, label
+
+
 def load_reg_data(paths, seed: int = 0):
     """Load one or more csv files/folders, shuffle rows, extract arrays."""
     if isinstance(paths, (str, os.PathLike)):

@@ -51,11 +51,22 @@ def make_semi_train_step(
     model,
     supervision_rate: float = 1.0,
     lambda_res: float = 10.0,
+    mask_mode: str = "sample",
 ) -> Callable:
     """Semi-supervised step on IInsVAE (reference train_semi.py:163-268).
 
-    Per-sample Bernoulli(supervision_rate) labeled mask, drawn on device.
+    mask_mode:
+      * 'sample' (default, the documented intent): per-sample
+        Bernoulli(rate) labeled mask, drawn on device — no wasted batches.
+      * 'batch': one Bernoulli(rate) draw per step masking the whole batch —
+        the reference's literal per-batch semantics (train_semi.py:203),
+        minus its np.random.randn bug (which made P(labeled)=Phi(rate)).
+    The abandoned train_semi_old.py variant (one draw per RUN, loss terms
+    multiplied by the constant mask, and a total that double-counts the KL
+    while dropping the regression term, train_semi_old.py:115,210) is a
+    defect, not a behavior — intentionally not replicated.
     """
+    assert mask_mode in ("sample", "batch")
 
     def step(state: TrainState, batch: dict, key: jax.Array):
         k_mask, k_sample, k_drop = jax.random.split(key, 3)
@@ -63,8 +74,10 @@ def make_semi_train_step(
         weight = batch.get("weight")
         if weight is None:
             weight = jnp.ones(cir.shape[0], cir.dtype)
-        sup_mask = jax.random.bernoulli(
-            k_mask, supervision_rate, (cir.shape[0],)
+        mask_shape = (cir.shape[0],) if mask_mode == "sample" else (1,)
+        sup_mask = jnp.broadcast_to(
+            jax.random.bernoulli(k_mask, supervision_rate, mask_shape),
+            (cir.shape[0],),
         ).astype(cir.dtype)
 
         def loss_fn(params):
