@@ -22,6 +22,12 @@ CIR_LEN = 152
 
 
 def load_data_from_file(filepath: str) -> np.ndarray:
+    """CSV -> rows. Uses the native C++ parser (runtime_native/) when built;
+    pandas otherwise."""
+    from iinsvae_tpu.runtime import native
+
+    if native.native_available():
+        return native.read_csv(filepath)
     return pd.read_csv(filepath, sep=",", header=0).values
 
 
@@ -77,4 +83,8 @@ def load_reg_data(paths, seed: int = 0):
     input_arr = np.vstack(arrays)
     rng = np.random.default_rng(seed)
     rng.shuffle(input_arr)
+    from iinsvae_tpu.runtime import native
+
+    if native.native_available():
+        return native.ewine_extract(input_arr)
     return extract_reg_arrays(input_arr)

@@ -1,0 +1,241 @@
+// iinsvae_io — native host-side data plane for iinsvae_tpu.
+//
+// The reference's data pipeline is pandas + per-row python loops and costs
+// ~270 s for one load+split (reference dataset.py:192). This library
+// replaces the host-side hot paths with C++: a zero-dependency CSV parser
+// (ewine measurement files), the ewine CIR/error extraction, and the
+// 6-feature extraction used by the SVM baseline (semantics identical to
+// iinsvae_tpu/ops/features.py — tested against it).
+//
+// Build: make -C runtime_native      (produces libiinsvae_io.so)
+// Bound via ctypes in iinsvae_tpu/runtime/native.py.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------- csv ----
+
+// Parse a comma-separated numeric CSV. skip_header != 0 drops the first
+// line. Returns a malloc'd row-major double array (caller frees with
+// iins_free); *rows/*cols receive the shape. Returns nullptr on error.
+double* iins_read_csv(const char* path, int skip_header, int64_t* rows,
+                      int64_t* cols) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::string buf(static_cast<size_t>(size), '\0');
+  if (std::fread(buf.data(), 1, static_cast<size_t>(size), f) !=
+      static_cast<size_t>(size)) {
+    std::fclose(f);
+    return nullptr;
+  }
+  std::fclose(f);
+
+  std::vector<double> values;
+  values.reserve(static_cast<size_t>(size) / 8);
+  int64_t n_rows = 0;
+  int64_t n_cols = -1;
+
+  const char* p = buf.data();
+  const char* end = p + buf.size();
+  if (skip_header) {
+    while (p < end && *p != '\n') ++p;
+    if (p < end) ++p;
+  }
+  while (p < end) {
+    // skip empty lines
+    if (*p == '\n' || *p == '\r') {
+      ++p;
+      continue;
+    }
+    int64_t row_cols = 0;
+    while (p < end && *p != '\n') {
+      char* next = nullptr;
+      double v = std::strtod(p, &next);
+      if (next == p) {  // non-numeric field -> NaN, skip to delimiter
+        v = std::nan("");
+        while (p < end && *p != ',' && *p != '\n' && *p != '\r') ++p;
+        next = const_cast<char*>(p);
+      }
+      values.push_back(v);
+      ++row_cols;
+      p = next;
+      while (p < end && (*p == ',' || *p == '\r' || *p == ' ')) {
+        if (*p == ',') {
+          ++p;
+          break;
+        }
+        ++p;
+      }
+    }
+    if (p < end) ++p;  // newline
+    if (n_cols < 0) n_cols = row_cols;
+    if (row_cols != n_cols) {  // ragged row: pad with NaN
+      while (row_cols < n_cols) {
+        values.push_back(std::nan(""));
+        ++row_cols;
+      }
+    }
+    ++n_rows;
+  }
+
+  double* out =
+      static_cast<double*>(std::malloc(values.size() * sizeof(double)));
+  if (!out) return nullptr;
+  std::memcpy(out, values.data(), values.size() * sizeof(double));
+  *rows = n_rows;
+  *cols = n_cols;
+  return out;
+}
+
+void iins_free(double* p) { std::free(p); }
+
+// -------------------------------------------------------------- ewine ----
+
+// Row layout (reference data_tools.py:93-107): cols 0-1 tag xy, 2-3 anchor
+// xy, 4 measured distance, 5 NLOS label, 8 first-path index, 17 max
+// amplitude; CIR taps start at fp_idx + 15, 152 taps, amplitude-normalized.
+void iins_ewine_extract(const double* rows, int64_t n, int64_t cols,
+                        double* cir, double* err, double* label) {
+  const int64_t kCirLen = 152;
+  for (int64_t i = 0; i < n; ++i) {
+    const double* r = rows + i * cols;
+    double dx = r[0] - r[2];
+    double dy = r[1] - r[3];
+    err[i] = std::fabs(std::sqrt(dx * dx + dy * dy) - r[4]);
+    label[i] = r[5];
+    int64_t fp = static_cast<int64_t>(r[8]);
+    double amp = r[17];
+    const double* src = r + fp + 15;
+    double* dst = cir + i * kCirLen;
+    for (int64_t t = 0; t < kCirLen; ++t) dst[t] = src[t] / amp;
+  }
+}
+
+// ----------------------------------------------------------- features ----
+
+// 6 hand-crafted CIR features per sample, column order
+// [Er, T_EMD, T_RMS, Kur, R_T, M_AMP] — exact semantics of
+// iinsvae_tpu/ops/features.py (reference data_tools.py:340-414 with the
+// kurtosis power-4 intent fix).
+void iins_features(const double* cir, int64_t n, int64_t len, double* out) {
+  const int64_t kW = 35;
+  for (int64_t i = 0; i < n; ++i) {
+    const double* x = cir + i * len;
+    // max amplitude + argmax (first maximum)
+    double m_amp = x[0];
+    int64_t max_pos = 0;
+    double mean = 0.0;
+    for (int64_t t = 0; t < len; ++t) {
+      if (x[t] > m_amp) {
+        m_amp = x[t];
+        max_pos = t;
+      }
+      mean += x[t];
+    }
+    mean /= static_cast<double>(len);
+    double var = 0.0;
+    for (int64_t t = 0; t < len; ++t) {
+      double d = x[t] - mean;
+      var += d * d;
+    }
+    double sigma = std::sqrt(var / static_cast<double>(len));  // biased
+
+    // rise time: first crossings (0 when absent)
+    double th1 = 6.0 * (sigma + mean);
+    double th2 = 0.6 * m_amp;
+    int64_t t1 = 0, t2 = 0;
+    for (int64_t t = 0; t < len; ++t)
+      if (x[t] > th1) {
+        t1 = t;
+        break;
+      }
+    for (int64_t t = 0; t < len; ++t)
+      if (x[t] > th2) {
+        t2 = t;
+        break;
+      }
+    double r_t = static_cast<double>(std::max<int64_t>(0, t2 - t1));
+
+    // 35-tap window around the peak, clamped
+    int64_t start = std::clamp<int64_t>(max_pos - 20, 0, len - kW);
+    const double* w = x + start;
+
+    double er = 0.0;
+    for (int64_t t = 0; t < kW; ++t) er += w[t];
+    double t_emd = 0.0, t_rms = 0.0;
+    for (int64_t t = 0; t < kW; ++t) {
+      double fhi = w[t] * w[t] / er;
+      double i1 = static_cast<double>(t + 1);
+      double i2 = static_cast<double>(t + 2);
+      t_emd += i1 * fhi;
+      double a = i1 - i2 * fhi;
+      t_rms += a * a * fhi;
+    }
+
+    double mu = er / static_cast<double>(kW);
+    double s2 = 0.0;
+    for (int64_t t = 0; t < kW; ++t) {
+      double d = w[t] - mu;
+      s2 += d * d;
+    }
+    s2 /= static_cast<double>(kW);
+    double kur = 0.0;
+    for (int64_t t = 0; t < kW; ++t) {
+      double d = w[t] - mu;
+      kur += d * d * d * d;
+    }
+    kur /= static_cast<double>(kW) * s2 * s2;
+
+    double* o = out + i * 6;
+    o[0] = er;
+    o[1] = t_emd;
+    o[2] = t_rms;
+    o[3] = kur;
+    o[4] = r_t;
+    o[5] = m_amp;
+  }
+}
+
+// ----------------------------------------------------------- scaling ----
+
+// StandardScaler: fit per-column mean/std (biased) on (n, d) train data,
+// then transform in place. Columns with zero std are left unscaled.
+void iins_standardize_fit(const double* x, int64_t n, int64_t d, double* mean,
+                          double* std_out) {
+  for (int64_t j = 0; j < d; ++j) {
+    mean[j] = 0.0;
+    std_out[j] = 0.0;
+  }
+  for (int64_t i = 0; i < n; ++i)
+    for (int64_t j = 0; j < d; ++j) mean[j] += x[i * d + j];
+  for (int64_t j = 0; j < d; ++j) mean[j] /= static_cast<double>(n);
+  for (int64_t i = 0; i < n; ++i)
+    for (int64_t j = 0; j < d; ++j) {
+      double v = x[i * d + j] - mean[j];
+      std_out[j] += v * v;
+    }
+  for (int64_t j = 0; j < d; ++j) {
+    std_out[j] = std::sqrt(std_out[j] / static_cast<double>(n));
+    if (std_out[j] == 0.0) std_out[j] = 1.0;
+  }
+}
+
+void iins_standardize_apply(double* x, int64_t n, int64_t d,
+                            const double* mean, const double* std_in) {
+  for (int64_t i = 0; i < n; ++i)
+    for (int64_t j = 0; j < d; ++j)
+      x[i * d + j] = (x[i * d + j] - mean[j]) / std_in[j];
+}
+
+}  // extern "C"
