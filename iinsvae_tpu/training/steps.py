@@ -67,8 +67,31 @@ def make_semi_train_step(
     defect, not a behavior — intentionally not replicated.
     """
     assert mask_mode in ("sample", "batch")
+    grads_fn = make_semi_grads_fn(model, supervision_rate, lambda_res, mask_mode)
 
     def step(state: TrainState, batch: dict, key: jax.Array):
+        grads, metrics, mut = grads_fn(state, batch, key)
+        state = state.apply_gradients(grads)
+        state = state.replace(batch_stats=mut.get("batch_stats", state.batch_stats))
+        return state, metrics
+
+    return step
+
+
+def make_semi_grads_fn(
+    model,
+    supervision_rate: float = 1.0,
+    lambda_res: float = 10.0,
+    mask_mode: str = "sample",
+) -> Callable:
+    """grads_fn(state, batch, key) -> (grads, metrics, mutated collections).
+
+    The update-free half of the semi step, shared by the single-device jit
+    step and the shard_map data-parallel step (parallel/shard.py), where
+    grads are pmean'd across the mesh before the update.
+    """
+
+    def grads_fn(state: TrainState, batch: dict, key: jax.Array):
         k_mask, k_sample, k_drop = jax.random.split(key, 3)
         cir, err, label = batch["cir"], batch["err"], batch["label"]
         weight = batch.get("weight")
@@ -97,13 +120,11 @@ def make_semi_train_step(
         (loss, (aux, mut, out)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
-        state = state.apply_gradients(grads)
-        state = state.replace(batch_stats=mut.get("batch_stats", state.batch_stats))
         metrics = _metrics(out["err_est"], err, out["logits"], label, weight)
         metrics.update(aux)
-        return state, metrics
+        return grads, metrics, mut
 
-    return step
+    return grads_fn
 
 
 def make_semi_eval_step(model) -> Callable:

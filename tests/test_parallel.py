@@ -80,3 +80,30 @@ def test_tp_rule_shards_wide_dense():
                      is_leaf=lambda x: hasattr(x, "spec"))
     )
     assert any("model" in str(s) for s in specs), "no TP-sharded kernel found"
+
+
+def test_shard_map_dp_matches_single_device():
+    from iinsvae_tpu.parallel.shard import make_dp_train_step, place_dp
+    from iinsvae_tpu.training.steps import make_semi_grads_fn
+
+    model, state = _setup()
+    batch = _batch(32)
+    s1, m1 = jax.jit(make_semi_train_step(model, 1.0))(state, batch, jax.random.PRNGKey(0))
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    model2, state2 = _setup()
+    step = make_dp_train_step(make_semi_grads_fn(model2, 1.0), mesh)
+    s_sh, b_sh = place_dp(mesh, state2, batch)
+    s2, m2 = step(s_sh, b_sh, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-4)
+    assert float(m2["count"]) == 32.0
+    p1 = jax.tree.leaves(s1.params)[0]
+    p2 = jax.tree.leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-4, atol=1e-5)
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
