@@ -65,7 +65,7 @@ def make_dp_train_step(grads_fn: Callable, mesh: Mesh, axis: str = "data") -> Ca
             mesh=mesh,
             in_specs=(P(), batch_specs, P()),
             out_specs=(P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
         return fn(state, batch, key)
 
