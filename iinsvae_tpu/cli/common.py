@@ -72,12 +72,13 @@ def resolve_data(cfg: Config):
     return data_train, data_test
 
 
-def to_batch_dict(split) -> dict:
+def to_batch_dict(split, compute_dtype: str = "float32") -> dict:
     cir, err, label = split
+    dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     return {
-        "cir": jnp.asarray(cir),
-        "err": jnp.asarray(err),
-        "label": jnp.asarray(label),
+        "cir": jnp.asarray(cir, dtype),
+        "err": jnp.asarray(err, jnp.float32),
+        "label": jnp.asarray(label, jnp.float32),
     }
 
 

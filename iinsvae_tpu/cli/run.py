@@ -52,7 +52,7 @@ def main(argv=None, cfg: Config | None = None):
     logger.info(str(cfg.to_dict()))
 
     data_train, data_test = resolve_data(cfg)
-    train = pad_to_batches(to_batch_dict(data_train), cfg.batch_size)
+    train = pad_to_batches(to_batch_dict(data_train, cfg.compute_dtype), cfg.batch_size)
 
     model = build_model(cfg)
     state = init_state(model, cfg)
@@ -66,7 +66,7 @@ def main(argv=None, cfg: Config | None = None):
         f"[Identifier{cfg.identifier_type}_Regressor{cfg.regressor_type}]",
     )
     key = jax.random.PRNGKey(cfg.seed)
-    test_batch = to_batch_dict(data_test)
+    test_batch = to_batch_dict(data_test, cfg.compute_dtype)
     eval_bs = min(500, test_batch["cir"].shape[0])
 
     for epoch in range(cfg.epoch, cfg.n_epochs):

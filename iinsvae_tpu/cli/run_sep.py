@@ -36,8 +36,8 @@ def main(argv=None, cfg: Config | None = None):
     logger.info(str(cfg.to_dict()))
 
     data_train, data_test = resolve_data(cfg)
-    train = pad_to_batches(to_batch_dict(data_train), cfg.batch_size)
-    test_batch = to_batch_dict(data_test)
+    train = pad_to_batches(to_batch_dict(data_train, cfg.compute_dtype), cfg.batch_size)
+    test_batch = to_batch_dict(data_test, cfg.compute_dtype)
 
     enet = IdentifierSep(
         cir_len=cfg.cir_len, num_classes=cfg.num_classes, env_dim=cfg.env_dim,

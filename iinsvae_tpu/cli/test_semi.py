@@ -40,7 +40,7 @@ def main(argv=None, cfg: Config | None = None):
     logger = setup_logging(test_path, "test_log_semi_compare.log")
 
     _, data_test = resolve_data(cfg)
-    test_batch = to_batch_dict(data_test)
+    test_batch = to_batch_dict(data_test, cfg.compute_dtype)
     eval_bs = min(500, test_batch["cir"].shape[0])
     padded = pad_to_batches(test_batch, eval_bs)
     model = build_model(cfg)

@@ -54,7 +54,7 @@ def main(argv=None, cfg: Config | None = None):
     logger.info(str(cfg.to_dict()))
 
     data_train, data_test = resolve_data(cfg)
-    train = pad_to_batches(to_batch_dict(data_train), cfg.batch_size)
+    train = pad_to_batches(to_batch_dict(data_train, cfg.compute_dtype), cfg.batch_size)
     steps_per_epoch = train["cir"].shape[0] // cfg.batch_size
 
     model = build_model(cfg)
@@ -74,7 +74,7 @@ def main(argv=None, cfg: Config | None = None):
     )
     key = jax.random.PRNGKey(cfg.seed)
 
-    test_batch = to_batch_dict(data_test)
+    test_batch = to_batch_dict(data_test, cfg.compute_dtype)
     eval_bs = min(500, test_batch["cir"].shape[0])
 
     from iinsvae_tpu.utils.profiling import profile_trace

@@ -83,6 +83,11 @@ def center_matrix(m: jnp.ndarray, l_out: int, c_out: int) -> jnp.ndarray:
     return (m3 - jnp.mean(m3, axis=1, keepdims=True)).reshape(k, l_out * c_out)
 
 
+def _ld(ref):
+    """Load a ref upcast to f32 — Mosaic lacks bf16 compare/rsqrt paths."""
+    return ref[:].astype(jnp.float32)
+
+
 def _act_fwd(y, act):
     if act == "relu":
         return jnp.maximum(y, 0.0)
@@ -99,23 +104,23 @@ def _fwd_in_kernel(act, has_res, refs):
         x_ref, mc_ref, pmu_ref, res_ref, out_ref, d_ref, r_ref = refs
     else:
         x_ref, mc_ref, pmu_ref, out_ref, d_ref, r_ref = refs
-    d = jnp.dot(x_ref[:], mc_ref[:], preferred_element_type=jnp.float32)
-    v = jnp.dot(d * d, pmu_ref[:], preferred_element_type=jnp.float32)
+    d = jnp.dot(_ld(x_ref), _ld(mc_ref), preferred_element_type=jnp.float32)
+    v = jnp.dot(d * d, _ld(pmu_ref), preferred_element_type=jnp.float32)
     r = jax.lax.rsqrt(v + _EPS)
     yh = d * r
     out = _act_fwd(yh, act)
     if has_res:
-        out = out + res_ref[:]
-    out_ref[:] = out
-    d_ref[:] = d
-    r_ref[:] = r
+        out = out + _ld(res_ref)
+    out_ref[:] = out.astype(out_ref.dtype)
+    d_ref[:] = d.astype(d_ref.dtype)
+    r_ref[:] = r.astype(r_ref.dtype)
 
 
 def _bwd_in_kernel(act, refs):
     g_ref, d_ref, r_ref, x_ref, mc_ref, pmu_ref, dx_ref, dm_ref = refs
-    g = g_ref[:]
-    d = d_ref[:]
-    r = r_ref[:]
+    g = _ld(g_ref)
+    d = _ld(d_ref)
+    r = _ld(r_ref)
     if act == "relu":
         gyh = jnp.where(d > 0, g, 0.0)
     elif act == "tanh":
@@ -124,9 +129,9 @@ def _bwd_in_kernel(act, refs):
     else:
         gyh = g
     a = gyh * d * (r * r * r)
-    gd = r * gyh - d * jnp.dot(a, pmu_ref[:], preferred_element_type=jnp.float32)
-    dx_ref[:] = jnp.dot(gd, mc_ref[:].T, preferred_element_type=jnp.float32)
-    dm_ref[:] = jnp.dot(x_ref[:].T, gd, preferred_element_type=jnp.float32)
+    gd = r * gyh - d * jnp.dot(a, _ld(pmu_ref), preferred_element_type=jnp.float32)
+    dx_ref[:] = jnp.dot(gd, _ld(mc_ref).T, preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+    dm_ref[:] = jnp.dot(_ld(x_ref).T, gd, preferred_element_type=jnp.float32).astype(dm_ref.dtype)
 
 
 def _fwd_nonorm_kernel(act, has_bias, refs):
@@ -134,10 +139,10 @@ def _fwd_nonorm_kernel(act, has_bias, refs):
         x_ref, m_ref, b_ref, out_ref = refs
     else:
         x_ref, m_ref, out_ref = refs
-    y = jnp.dot(x_ref[:], m_ref[:], preferred_element_type=jnp.float32)
+    y = jnp.dot(_ld(x_ref), _ld(m_ref), preferred_element_type=jnp.float32)
     if has_bias:
-        y = y + b_ref[:]
-    out_ref[:] = _act_fwd(y, act)
+        y = y + _ld(b_ref)
+    out_ref[:] = _act_fwd(y, act).astype(out_ref.dtype)
 
 
 def _bwd_nonorm_kernel(act, has_bias, refs):
@@ -145,18 +150,18 @@ def _bwd_nonorm_kernel(act, has_bias, refs):
         g_ref, out_ref, x_ref, m_ref, dx_ref, dm_ref, db_ref = refs
     else:
         g_ref, out_ref, x_ref, m_ref, dx_ref, dm_ref = refs
-    g = g_ref[:]
-    out = out_ref[:]
+    g = _ld(g_ref)
+    out = _ld(out_ref)
     if act == "relu":
         dz = jnp.where(out > 0, g, 0.0)
     elif act == "tanh":
         dz = g * (1.0 - out * out)
     else:
         dz = g
-    dx_ref[:] = jnp.dot(dz, m_ref[:].T, preferred_element_type=jnp.float32)
-    dm_ref[:] = jnp.dot(x_ref[:].T, dz, preferred_element_type=jnp.float32)
+    dx_ref[:] = jnp.dot(dz, _ld(m_ref).T, preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+    dm_ref[:] = jnp.dot(_ld(x_ref).T, dz, preferred_element_type=jnp.float32).astype(dm_ref.dtype)
     if has_bias:
-        db_ref[:] = jnp.sum(dz, axis=0, keepdims=True)
+        db_ref[:] = jnp.sum(dz, axis=0, keepdims=True).astype(db_ref.dtype)
 
 
 # --------------------- decoder kernels: AdaIN / SLN / tanh+pool ---------------------
@@ -167,89 +172,89 @@ def _fwd_adain_kernel(act, has_res, refs):
         x_ref, mc_ref, pmu_ref, gf_ref, bf_ref, res_ref, out_ref, d_ref, r_ref = refs
     else:
         x_ref, mc_ref, pmu_ref, gf_ref, bf_ref, out_ref, d_ref, r_ref = refs
-    d = jnp.dot(x_ref[:], mc_ref[:], preferred_element_type=jnp.float32)
-    v = jnp.dot(d * d, pmu_ref[:], preferred_element_type=jnp.float32)
+    d = jnp.dot(_ld(x_ref), _ld(mc_ref), preferred_element_type=jnp.float32)
+    v = jnp.dot(d * d, _ld(pmu_ref), preferred_element_type=jnp.float32)
     r = jax.lax.rsqrt(v + _EPS)
-    out = (d * r) * gf_ref[:] + bf_ref[:]
+    out = (d * r) * _ld(gf_ref) + _ld(bf_ref)
     if act == "relu":
         out = jnp.maximum(out, 0.0)
     if has_res:
-        out = out + res_ref[:]
-    out_ref[:] = out
-    d_ref[:] = d
-    r_ref[:] = r
+        out = out + _ld(res_ref)
+    out_ref[:] = out.astype(out_ref.dtype)
+    d_ref[:] = d.astype(d_ref.dtype)
+    r_ref[:] = r.astype(r_ref.dtype)
 
 
 def _bwd_adain_kernel(act, refs):
     g_ref, d_ref, r_ref, gf_ref, bf_ref, x_ref, mc_ref, pmu_ref, \
         dx_ref, dm_ref, dgf_ref, dbf_ref = refs
-    g = g_ref[:]
-    d = d_ref[:]
-    r = r_ref[:]
-    gf = gf_ref[:]
+    g = _ld(g_ref)
+    d = _ld(d_ref)
+    r = _ld(r_ref)
+    gf = _ld(gf_ref)
     yh = d * r
     if act == "relu":
-        pre = yh * gf + bf_ref[:]
+        pre = yh * gf + _ld(bf_ref)
         gaff = jnp.where(pre > 0, g, 0.0)
     else:
         gaff = g
-    dgf_ref[:] = gaff * yh
-    dbf_ref[:] = gaff
+    dgf_ref[:] = (gaff * yh).astype(dgf_ref.dtype)
+    dbf_ref[:] = gaff.astype(dbf_ref.dtype)
     gyh = gaff * gf
     a = gyh * d * (r * r * r)
-    gd = r * gyh - d * jnp.dot(a, pmu_ref[:], preferred_element_type=jnp.float32)
-    dx_ref[:] = jnp.dot(gd, mc_ref[:].T, preferred_element_type=jnp.float32)
-    dm_ref[:] = jnp.dot(x_ref[:].T, gd, preferred_element_type=jnp.float32)
+    gd = r * gyh - d * jnp.dot(a, _ld(pmu_ref), preferred_element_type=jnp.float32)
+    dx_ref[:] = jnp.dot(gd, _ld(mc_ref).T, preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+    dm_ref[:] = jnp.dot(_ld(x_ref).T, gd, preferred_element_type=jnp.float32).astype(dm_ref.dtype)
 
 
 def _fwd_sln_kernel(n_feats, refs):
     x_ref, mc_ref, gf_ref, bf_ref, out_ref, d_ref, t_ref = refs
-    d = jnp.dot(x_ref[:], mc_ref[:], preferred_element_type=jnp.float32)
+    d = jnp.dot(_ld(x_ref), _ld(mc_ref), preferred_element_type=jnp.float32)
     ss = jnp.sum(d * d, axis=1, keepdims=True) / (n_feats - 1)  # unbiased
     s = jnp.sqrt(ss)
     t = 1.0 / (s + _EPS)  # torch-quirk denominator (std + eps)
-    out_ref[:] = jnp.maximum((d * t) * gf_ref[:] + bf_ref[:], 0.0)
-    d_ref[:] = d
-    t_ref[:] = t
+    out_ref[:] = jnp.maximum((d * t) * _ld(gf_ref) + _ld(bf_ref), 0.0).astype(out_ref.dtype)
+    d_ref[:] = d.astype(d_ref.dtype)
+    t_ref[:] = t.astype(t_ref.dtype)
 
 
 def _bwd_sln_kernel(n_feats, refs):
     g_ref, d_ref, t_ref, gf_ref, bf_ref, x_ref, mc_ref, \
         dx_ref, dm_ref, dgf_ref, dbf_ref = refs
-    g = g_ref[:]
-    d = d_ref[:]
-    t = t_ref[:]
-    gf = gf_ref[:]
+    g = _ld(g_ref)
+    d = _ld(d_ref)
+    t = _ld(t_ref)
+    gf = _ld(gf_ref)
     yh = d * t
-    pre = yh * gf + bf_ref[:]
+    pre = yh * gf + _ld(bf_ref)
     gaff = jnp.where(pre > 0, g, 0.0)
-    dgf_ref[:] = jnp.sum(gaff * yh, axis=0, keepdims=True)
-    dbf_ref[:] = jnp.sum(gaff, axis=0, keepdims=True)
+    dgf_ref[:] = jnp.sum(gaff * yh, axis=0, keepdims=True).astype(dgf_ref.dtype)
+    dbf_ref[:] = jnp.sum(gaff, axis=0, keepdims=True).astype(dbf_ref.dtype)
     gyh = gaff * gf
     gt = jnp.sum(gyh * d, axis=1, keepdims=True)
     s = 1.0 / t - _EPS  # recover s from t
     gss = gt * (-(t * t)) / (2.0 * s)
     gd = gyh * t + d * (2.0 * gss / (n_feats - 1))
-    dx_ref[:] = jnp.dot(gd, mc_ref[:].T, preferred_element_type=jnp.float32)
-    dm_ref[:] = jnp.dot(x_ref[:].T, gd, preferred_element_type=jnp.float32)
+    dx_ref[:] = jnp.dot(gd, mc_ref[:].T, preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+    dm_ref[:] = jnp.dot(x_ref[:].T, gd, preferred_element_type=jnp.float32).astype(dm_ref.dtype)
 
 
 def _fwd_tanhpool_kernel(refs):
     x_ref, m_ref, bf_ref, pool_ref, out_ref, th_ref = refs
-    z = jnp.dot(x_ref[:], m_ref[:], preferred_element_type=jnp.float32) + bf_ref[:]
+    z = jnp.dot(_ld(x_ref), _ld(m_ref), preferred_element_type=jnp.float32) + _ld(bf_ref)
     th = jnp.tanh(z)
-    th_ref[:] = th
-    out_ref[:] = jnp.dot(th, pool_ref[:], preferred_element_type=jnp.float32)
+    th_ref[:] = th.astype(th_ref.dtype)
+    out_ref[:] = jnp.dot(th, _ld(pool_ref), preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
 def _bwd_tanhpool_kernel(refs):
     g_ref, th_ref, x_ref, m_ref, pool_ref, dx_ref, dm_ref, dbf_ref = refs
-    th = th_ref[:]
-    gth = jnp.dot(g_ref[:], pool_ref[:].T, preferred_element_type=jnp.float32)
+    th = _ld(th_ref)
+    gth = jnp.dot(_ld(g_ref), _ld(pool_ref).T, preferred_element_type=jnp.float32)
     gz = gth * (1.0 - th * th)
-    dx_ref[:] = jnp.dot(gz, m_ref[:].T, preferred_element_type=jnp.float32)
-    dm_ref[:] = jnp.dot(x_ref[:].T, gz, preferred_element_type=jnp.float32)
-    dbf_ref[:] = jnp.sum(gz, axis=0, keepdims=True)
+    dx_ref[:] = jnp.dot(gz, _ld(m_ref).T, preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+    dm_ref[:] = jnp.dot(_ld(x_ref).T, gz, preferred_element_type=jnp.float32).astype(dm_ref.dtype)
+    dbf_ref[:] = jnp.sum(gz, axis=0, keepdims=True).astype(dbf_ref.dtype)
 
 
 @functools.lru_cache(maxsize=None)

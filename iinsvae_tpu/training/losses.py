@@ -34,8 +34,9 @@ LAMBDA_ENV = 1.0
 
 
 def _wmean(x: jnp.ndarray, w: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """Weighted mean over the batch axis; x reduced over non-batch axes first."""
-    per_sample = x.reshape(x.shape[0], -1).mean(axis=1)
+    """Weighted mean over the batch axis; x reduced over non-batch axes first.
+    Always accumulates in f32 (inputs may be bf16)."""
+    per_sample = x.astype(jnp.float32).reshape(x.shape[0], -1).mean(axis=1)
     if w is None:
         return per_sample.mean()
     w = w.reshape(-1)
