@@ -59,6 +59,12 @@ def main(argv=None, cfg: Config | None = None):
 
     model = build_model(cfg)
     state = init_state(model, cfg, steps_per_epoch=steps_per_epoch)
+    start_epoch = cfg.epoch
+    if cfg.epoch == -1:  # auto-resume from the latest checkpoint
+        from iinsvae_tpu.training.checkpoint import latest_epoch
+
+        start_epoch = latest_epoch(model_path) or 0
+        cfg.epoch = start_epoch
     if cfg.epoch != 0:
         state = restore_checkpoint(model_path, cfg.epoch, state)
         logger.info(f"resumed from epoch {cfg.epoch}")
