@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import argparse
 
-from iinsvae_tpu.config import Config, add_args, from_args
+from iinsvae_tpu.config import add_args, from_args
 from iinsvae_tpu.training.checkpoint import (
     semi_model_dir,
     semi_result_dir,

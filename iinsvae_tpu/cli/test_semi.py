@@ -11,7 +11,6 @@ import dataclasses
 import os
 
 import numpy as np
-import jax
 
 from iinsvae_tpu.config import Config, parse
 from iinsvae_tpu.training.checkpoint import semi_model_dir, restore_checkpoint, latest_epoch

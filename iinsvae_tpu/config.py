@@ -12,7 +12,7 @@ typed Config, plus the env -> (num_classes, cir_len) derivation tables
 from __future__ import annotations
 
 import argparse
-from dataclasses import dataclass, field, asdict
+from dataclasses import dataclass, asdict
 
 NUM_CLASSES = {
     "nlos": 2,

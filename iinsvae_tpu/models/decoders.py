@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from iinsvae_tpu.models.layers import Conv1d, Conv2d, MLP, ResidualBlock1d, ResidualBlock2d, SampleLayerNorm
+from iinsvae_tpu.models.layers import Conv2d, MLP, ResidualBlock2d, SampleLayerNorm
 from iinsvae_tpu.ops.pooling import adaptive_avg_pool1d, adaptive_avg_pool2d
 from iinsvae_tpu.ops.conv import upsample_nearest1d, upsample_nearest2d
 

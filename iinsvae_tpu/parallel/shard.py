@@ -16,11 +16,9 @@ for a ~1M-param conv VAE (SURVEY.md §5.8).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 try:

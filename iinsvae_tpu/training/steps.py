@@ -13,8 +13,7 @@ reference's variable tail batches recompile / skew metrics; SURVEY.md §7
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
