@@ -36,21 +36,6 @@ def conv_normal_init(std: float = 0.02):
     return init
 
 
-def torch_uniform_init(fan_in_axis: str = "all_but_last"):
-    """torch default U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for weights/biases."""
-    def init(key, shape, dtype=jnp.float32):
-        if len(shape) == 1:
-            # bias: fan_in must be supplied via closure — handled by _bias_init
-            bound = 1.0
-        else:
-            fan_in = 1
-            for d in shape[:-1]:
-                fan_in *= d
-            bound = 1.0 / jnp.sqrt(fan_in)
-        return jax.random.uniform(key, shape, dtype, -bound, bound)
-    return init
-
-
 def _bias_uniform_init(fan_in: int):
     bound = 1.0 / float(fan_in) ** 0.5
     def init(key, shape, dtype=jnp.float32):
