@@ -57,7 +57,12 @@ def resolve_data(cfg: Config):
     else:
         root = [p for p in EWINE_DEFAULT_PATHS if os.path.exists(p)]
         if not root:
-            raise FileNotFoundError("no ewine csvs found under ./data/data_ewine/")
+            if not cfg.allow_synthetic:
+                raise FileNotFoundError("no ewine csvs found under ./data/data_ewine/")
+            from iinsvae_tpu.data.synthetic import ensure_ewine_dataset
+
+            root = ensure_ewine_dataset(n=cfg.synthetic_n, seed=cfg.seed)
+            print(f"[data] no ewine csvs -> synthetic fixture at {root[0]} ...")
 
     env = cfg.dataset_env if cfg.dataset_name == "zenodo" else None
     data_train, data_test, ftr, fte = err_mitigation_dataset(

@@ -76,6 +76,44 @@ def synthetic_arrays(n: int = 4096, seed: int = 0, option: str = "room_full"):
         return load_pkl_data(path, option=option, seed=seed)
 
 
+def synthetic_ewine_csv(path: str, n: int = 512, seed: int = 0, taps: int = 200) -> str:
+    """Write one synthetic eWine-format measurement CSV (column layout per
+    reference data_tools.py:93-107): tag/anchor coords, measured distance,
+    NLOS label, first-path index at col 8, max amplitude at col 17, raw CIR
+    taps from col 18."""
+    rng = np.random.default_rng(seed)
+    rows = np.zeros((n, 18 + taps))
+    rows[:, 0:2] = rng.uniform(0, 10, (n, 2))       # tag xy
+    rows[:, 2:4] = rng.uniform(0, 10, (n, 2))       # anchor xy
+    d_gt = np.hypot(rows[:, 0] - rows[:, 2], rows[:, 1] - rows[:, 3])
+    nlos = rng.integers(0, 2, n)
+    rows[:, 5] = nlos
+    rows[:, 4] = d_gt + np.abs(0.05 + 0.25 * nlos * rng.random(n) + 0.03 * rng.standard_normal(n))
+    rows[:, 8] = rng.integers(0, taps - 170, n)     # first-path index
+    rows[:, 17] = rng.uniform(1000, 2000, n)        # max amplitude
+    t = np.arange(taps)
+    fp = rows[:, 8:9] + 15
+    pulse = np.exp(-0.5 * ((t[None, :] - fp - 5) / 2.0) ** 2)
+    tail = np.where(t[None, :] > fp, np.exp(-(t[None, :] - fp) / (8 + 6 * nlos[:, None])), 0)
+    rows[:, 18:] = rows[:, 17:18] * (pulse + 0.4 * tail) + 20 * np.abs(rng.standard_normal((n, taps)))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pd.DataFrame(rows, columns=[f"c{i}" for i in range(rows.shape[1])]).to_csv(path, index=False)
+    return path
+
+
+def ensure_ewine_dataset(base_dir: str = "./data/data_ewine", n: int = 2048, seed: int = 0):
+    """Create a synthetic eWine CSV tree (dataset1/tag_room{0,1}.csv) when no
+    real one exists; returns the csv paths."""
+    paths = [
+        os.path.join(base_dir, "dataset1", "tag_room0.csv"),
+        os.path.join(base_dir, "dataset1", "tag_room1.csv"),
+    ]
+    for i, p in enumerate(paths):
+        if not os.path.exists(p):
+            synthetic_ewine_csv(p, n=n // 2, seed=seed + i)
+    return paths
+
+
 def ensure_dataset(root: str, n: int = 4096, seed: int = 0) -> str:
     """Return ``root`` if the real dataset.pkl exists; otherwise write a
     synthetic fixture UNDER A DISTINCT NAME next to it and return that path

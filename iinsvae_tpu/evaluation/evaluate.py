@@ -19,6 +19,7 @@ from iinsvae_tpu.training.steps import make_semi_eval_step, make_joint_eval_step
 from iinsvae_tpu.evaluation.viz import (
     reduce_latents,
     visualize_latents,
+    visualize_recon,
     save_cdf_comparison,
 )
 
@@ -76,6 +77,9 @@ def evaluate_semi(
         artifacts["latents_png"] = visualize_latents(
             feats2d, label_gt, result_path, epoch, dataset_env
         )
+        cir_gt = _unpad(padded["cir"].reshape(-1, batch_size, padded["cir"].shape[-1]), w)
+        recon = _unpad(outs["recon"], w)
+        artifacts["recon_png"] = visualize_recon(cir_gt, recon, result_path, epoch)
 
     if run_svm and data_raw is not None:
         from iinsvae_tpu.baseline.svm import svm_regressor, svm_classifier

@@ -91,6 +91,32 @@ def visualize_latents(
     return out
 
 
+def visualize_recon(
+    cir_gt: np.ndarray,
+    cir_recon: np.ndarray,
+    save_path: str,
+    epoch: int,
+    n: int = 4,
+):
+    """Side-by-side original vs reconstructed CIR waveforms — the
+    ``visualize_recon`` the reference sketches but leaves commented out
+    (train_semi.py:275-278)."""
+    n = min(n, cir_gt.shape[0])
+    fig, axes = plt.subplots(n, 1, figsize=(6, 2 * n), squeeze=False)
+    for i in range(n):
+        ax = axes[i][0]
+        ax.plot(np.asarray(cir_gt[i]), color="tab:blue", label="original")
+        ax.plot(np.asarray(cir_recon[i]), color="tab:orange", label="reconstruction")
+        if i == 0:
+            ax.legend()
+    os.makedirs(save_path, exist_ok=True)
+    out = os.path.join(save_path, "recon_epoch%d.png" % epoch)
+    fig.tight_layout()
+    fig.savefig(out)
+    plt.close(fig)
+    return out
+
+
 def save_cdf_comparison(
     save_path: str,
     name: str,
