@@ -113,3 +113,22 @@ def test_config_union_cli():
 def test_synthetic_arrays_direct():
     cir, err, label, room = synthetic_arrays(n=256, option="nlos")
     assert cir.shape == (256, 157)
+
+
+@pytest.mark.slow
+def test_pipeline_at_reference_scale(tmp_path):
+    """Full-scale pipeline check: reference-documented split sizes
+    (44,126 / 11,032 at 55,158 samples, dataset.py:193) and a load+split
+    budget orders of magnitude under the reference's ~270 s anchor."""
+    import time
+
+    path = tmp_path / "dataset.pkl"
+    synthetic_zenodo_frame(n=55158, seed=0).to_pickle(path)
+    t0 = time.time()
+    train, test, _, _ = err_mitigation_dataset(
+        str(path), dataset_env="room_full", split_factor=0.8, scaling=True, mode="full"
+    )
+    dt = time.time() - t0
+    assert train[0].shape == (44126, 157)
+    assert test[0].shape == (11032, 157)
+    assert dt < 30.0, f"pipeline took {dt:.1f}s"
