@@ -82,29 +82,41 @@ def evaluate_semi(
         artifacts["recon_png"] = visualize_recon(cir_gt, recon, result_path, epoch)
 
     if run_svm and data_raw is not None:
-        from iinsvae_tpu.baseline.svm import svm_regressor, svm_classifier
-
-        data_train_raw, data_test_raw = data_raw
-        res_svm, err_orig, svm_rmse, _ = svm_regressor(data_train_raw, data_test_raw)
-        svm_acc, _, _ = svm_classifier(data_train_raw, data_test_raw)
-        metrics["svm_rmse"] = svm_rmse
-        metrics["svm_accuracy"] = svm_acc
-        if result_path is not None and make_plots:
-            artifacts["cdf_png"] = save_cdf_comparison(
-                result_path,
-                "CDF_%s_%s_%d.png" % (dataset_name, dataset_env, epoch),
-                [(err_gt, "y"), (res_em, "purple"), (res_svm, "c")],
-                ["Original error", "Our method", "SVM"],
-            )
-        if result_path is not None:
-            export_residuals(
-                result_path,
-                "%s_%s_%d" % (dataset_name, dataset_env, epoch),
-                res_em, res_svm, err_gt,
-            )
+        _svm_comparison(
+            metrics, artifacts, err_gt, res_em, data_raw,
+            result_path, epoch, dataset_env, dataset_name, make_plots,
+        )
 
     metrics["artifacts"] = artifacts
     return metrics
+
+
+def _svm_comparison(
+    metrics, artifacts, err_gt, res_em, data_raw,
+    result_path, epoch, dataset_env, dataset_name, make_plots,
+):
+    """Shared SVM-baseline comparison + CDF + residual exports
+    (reference test.py:128-146)."""
+    from iinsvae_tpu.baseline.svm import svm_regressor, svm_classifier
+
+    data_train_raw, data_test_raw = data_raw
+    res_svm, _err_orig, svm_rmse, _ = svm_regressor(data_train_raw, data_test_raw)
+    svm_acc, _, _ = svm_classifier(data_train_raw, data_test_raw)
+    metrics["svm_rmse"] = svm_rmse
+    metrics["svm_accuracy"] = svm_acc
+    if result_path is not None and make_plots:
+        artifacts["cdf_png"] = save_cdf_comparison(
+            result_path,
+            "CDF_%s_%s_%d.png" % (dataset_name, dataset_env, epoch),
+            [(err_gt, "y"), (res_em, "purple"), (res_svm, "c")],
+            ["Original error", "Our method", "SVM"],
+        )
+    if result_path is not None:
+        export_residuals(
+            result_path,
+            "%s_%s_%d" % (dataset_name, dataset_env, epoch),
+            res_em, res_svm, err_gt,
+        )
 
 
 def evaluate_joint(
@@ -140,25 +152,9 @@ def evaluate_joint(
             feats2d, label_gt, result_path, epoch, dataset_env
         )
     if run_svm and data_raw is not None:
-        from iinsvae_tpu.baseline.svm import svm_regressor, svm_classifier
-
-        data_train_raw, data_test_raw = data_raw
-        res_svm, err_orig, svm_rmse, _ = svm_regressor(data_train_raw, data_test_raw)
-        svm_acc, _, _ = svm_classifier(data_train_raw, data_test_raw)
-        metrics["svm_rmse"] = svm_rmse
-        metrics["svm_accuracy"] = svm_acc
-        if result_path is not None and make_plots:
-            artifacts["cdf_png"] = save_cdf_comparison(
-                result_path,
-                "CDF_%s_%s_%d.png" % (dataset_name, dataset_env, epoch),
-                [(err_gt, "y"), (res_em, "purple"), (res_svm, "c")],
-                ["Original error", "Our method", "SVM"],
-            )
-        if result_path is not None:
-            export_residuals(
-                result_path,
-                "%s_%s_%d" % (dataset_name, dataset_env, epoch),
-                res_em, res_svm, err_gt,
-            )
+        _svm_comparison(
+            metrics, artifacts, err_gt, res_em, data_raw,
+            result_path, epoch, dataset_env, dataset_name, make_plots,
+        )
     metrics["artifacts"] = artifacts
     return metrics
