@@ -290,11 +290,29 @@ class ResidualBlock1d(nn.Module):
     @nn.compact
     def __call__(self, x, adain_params: Optional[Sequence] = None):
         if self.norm == "in":
-            # two fused kernels: conv+IN+relu, then conv+IN(+skip add)
-            y = ConvINAct(self.features, 3, padding=1, pad_mode="reflect",
-                          norm="in", act="relu")(x)
-            return ConvINAct(self.features, 3, padding=1, pad_mode="reflect",
-                             norm="in", act="none")(y, residual=x)
+            b, l, c = x.shape
+            k1 = self.param("kernel1", conv_normal_init(), (3, c, self.features))
+            k2 = self.param("kernel2", conv_normal_init(), (3, self.features, self.features))
+            from iinsvae_tpu.ops.pallas.fused import (
+                fused_res_block,
+                pallas_enabled,
+                MAX_FUSED_BATCH,
+            )
+
+            if pallas_enabled() and b <= MAX_FUSED_BATCH and l * c <= 1024:
+                m1 = dense_ops.dense_conv_matrix(
+                    k1.astype(x.dtype), l, padding=1, pad_mode="reflect")
+                m2 = dense_ops.dense_conv_matrix(
+                    k2.astype(x.dtype), l, padding=1, pad_mode="reflect")
+                # the WHOLE block — conv+IN+relu+conv+IN+skip — in one kernel
+                out = fused_res_block(x.reshape(b, l * c), m1, m2,
+                                      l_out=l, c_out=self.features)
+                return out.reshape(b, l, self.features)
+            # composed path, identical math
+            y = dense_ops.conv1d_dense(x, k1, None, padding=1, pad_mode="reflect")
+            y = nn.relu(norm_ops.instance_norm(y))
+            y = dense_ops.conv1d_dense(y, k2, None, padding=1, pad_mode="reflect")
+            return x + norm_ops.instance_norm(y)
         y = Conv1d(self.features, 3, padding=1, pad_mode="reflect")(x)
         g1, b1 = adain_params[0]
         y = norm_ops.adain(y, g1, b1)

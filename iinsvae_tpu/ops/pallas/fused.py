@@ -164,6 +164,99 @@ def _bwd_nonorm_kernel(act, has_bias, refs):
         db_ref[:] = jnp.sum(dz, axis=0, keepdims=True).astype(db_ref.dtype)
 
 
+# --------------------- whole-residual-block kernel (IN) ---------------------
+
+
+def _fwd_resblock_kernel(refs):
+    x_ref, m1_ref, m2_ref, pmu_ref, out_ref, d1_ref, d2_ref = refs
+    x = _ld(x_ref)
+    pmu = _ld(pmu_ref)
+    d1 = jnp.dot(x, _ld(m1_ref), preferred_element_type=jnp.float32)
+    r1 = jax.lax.rsqrt(jnp.dot(d1 * d1, pmu, preferred_element_type=jnp.float32) + _EPS)
+    y1 = jnp.maximum(d1 * r1, 0.0)
+    d2 = jnp.dot(y1, _ld(m2_ref), preferred_element_type=jnp.float32)
+    r2 = jax.lax.rsqrt(jnp.dot(d2 * d2, pmu, preferred_element_type=jnp.float32) + _EPS)
+    out_ref[:] = (d2 * r2 + x).astype(out_ref.dtype)
+    d1_ref[:] = d1.astype(d1_ref.dtype)
+    d2_ref[:] = d2.astype(d2_ref.dtype)
+
+
+def _bwd_resblock_kernel(refs):
+    g_ref, x_ref, d1_ref, d2_ref, m1_ref, m2_ref, pmu_ref, dx_ref, dm1_ref, dm2_ref = refs
+    g = _ld(g_ref)
+    x = _ld(x_ref)
+    d1 = _ld(d1_ref)
+    d2 = _ld(d2_ref)
+    pmu = _ld(pmu_ref)
+    # r's recomputed from the saved pre-norm activations (VMEM budget)
+    r2 = jax.lax.rsqrt(jnp.dot(d2 * d2, pmu, preferred_element_type=jnp.float32) + _EPS)
+    a2 = g * d2 * (r2 * r2 * r2)
+    gd2 = r2 * g - d2 * jnp.dot(a2, pmu, preferred_element_type=jnp.float32)
+    r1 = jax.lax.rsqrt(jnp.dot(d1 * d1, pmu, preferred_element_type=jnp.float32) + _EPS)
+    y1 = jnp.maximum(d1 * r1, 0.0)
+    dm2_ref[:] = jnp.dot(y1.T, gd2, preferred_element_type=jnp.float32).astype(dm2_ref.dtype)
+    gy1 = jnp.dot(gd2, _ld(m2_ref).T, preferred_element_type=jnp.float32)
+    gyh1 = jnp.where(d1 > 0, gy1, 0.0)
+    a1 = gyh1 * d1 * (r1 * r1 * r1)
+    gd1 = r1 * gyh1 - d1 * jnp.dot(a1, pmu, preferred_element_type=jnp.float32)
+    dx_ref[:] = (jnp.dot(gd1, _ld(m1_ref).T, preferred_element_type=jnp.float32) + g).astype(dx_ref.dtype)
+    dm1_ref[:] = jnp.dot(x.T, gd1, preferred_element_type=jnp.float32).astype(dm1_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_resblock_layer(l_out: int, c_out: int):
+    n = l_out * c_out
+
+    def fwd_call(x, m1, m2):
+        b = x.shape[0]
+        pmu = jnp.asarray(_pmu_np(l_out, c_out))
+        return pl.pallas_call(
+            lambda *refs: _fwd_resblock_kernel(refs),
+            out_shape=tuple(jax.ShapeDtypeStruct((b, n), x.dtype) for _ in range(3)),
+            in_specs=[_vmem()] * 4,
+            out_specs=tuple([_vmem()] * 3),
+            interpret=_interpret(),
+        )(x, m1, m2, pmu)
+
+    def bwd_call(g, x, d1, d2, m1, m2):
+        pmu = jnp.asarray(_pmu_np(l_out, c_out))
+        return pl.pallas_call(
+            lambda *refs: _bwd_resblock_kernel(refs),
+            out_shape=(
+                jax.ShapeDtypeStruct(x.shape, x.dtype),
+                jax.ShapeDtypeStruct(m1.shape, m1.dtype),
+                jax.ShapeDtypeStruct(m2.shape, m2.dtype),
+            ),
+            in_specs=[_vmem()] * 7,
+            out_specs=tuple([_vmem()] * 3),
+            interpret=_interpret(),
+        )(g, x, d1, d2, m1, m2, pmu)
+
+    @jax.custom_vjp
+    def layer(x, m1, m2):
+        return fwd_call(x, m1, m2)[0]
+
+    def layer_fwd(x, m1, m2):
+        out, d1, d2 = fwd_call(x, m1, m2)
+        return out, (x, d1, d2, m1, m2)
+
+    def layer_bwd(saved, g):
+        x, d1, d2, m1, m2 = saved
+        return bwd_call(g, x, d1, d2, m1, m2)
+
+    layer.defvjp(layer_fwd, layer_bwd)
+    return layer
+
+
+def fused_res_block(x, m1, m2, *, l_out: int, c_out: int):
+    """Whole InstanceNorm residual block — conv+IN+relu+conv+IN+skip — as
+    ONE Pallas kernel forward and one backward (x, m* flat/centered as in
+    fused_dense_layer)."""
+    m1c = center_matrix(m1, l_out, c_out)
+    m2c = center_matrix(m2, l_out, c_out)
+    return _make_resblock_layer(l_out, c_out)(x, m1c, m2c)
+
+
 # --------------------- decoder kernels: AdaIN / SLN / tanh+pool ---------------------
 
 
