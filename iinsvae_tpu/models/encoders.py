@@ -246,3 +246,9 @@ class Encoder(nn.Module):
         kl = env_kl(mu, log_sigma)
         rv = reparameterize(sample_key, mu, log_sigma) if sample_key is not None else None
         return range_code, cat, rv, kl
+
+    def sample(self, key: jax.Array, n: int) -> jnp.ndarray:
+        """Draw n latents from the N(0, I) prior, shape (n, style_dim)
+        (reference models.py:63-64 — torch.randn(n, latent_dim) with the
+        global RNG; here an explicit key)."""
+        return jax.random.normal(key, (n, self.style_dim))

@@ -144,6 +144,21 @@ class ConvINAct(nn.Module):
             MAX_FUSED_BATCH,
         )
 
+        if self.norm == "none" and self.act == "relu" and residual is None:
+            # the env encoder's stride-2 stages: row-tile Pallas conv
+            # (ops/pallas/strided_conv.py) — one kernel each way, no dense
+            # matrix, no im2col HBM round trip. Strictly cheaper than the
+            # dense lowering whenever it applies, so it goes first.
+            from iinsvae_tpu.ops.pallas import strided_conv
+
+            if pallas_enabled() and strided_conv.applicable(
+                l_in, c_in, self.features, self.kernel_size,
+                self.stride, self.padding, self.pad_mode,
+            ):
+                return strided_conv.fused_strided_conv(
+                    x, kernel.astype(x.dtype), bias, l_in=l_in, c_in=c_in
+                )
+
         # dense lowering only while the (K, N) layer matrix stays small
         # (4 MB); beyond that (e.g. the env encoder's 2048x2048 stages) the
         # im2col path wins and the fused kernel would blow VMEM.

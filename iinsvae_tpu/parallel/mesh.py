@@ -90,9 +90,13 @@ def state_shardings(mesh: Mesh, state):
     replicated = NamedSharding(mesh, P())
     p_sh = params_sh(state.params)
 
-    # optax states mirror the params tree (adam's mu/nu), so the same
-    # path-based rule applies: mirrored kernels end their key path in
-    # 'kernel' just like the params they shadow.
+    # make_optimizer wraps adam in optax.flatten (training/optim.py), so
+    # its mu/nu are FLAT vectors, not param-tree mirrors: the kernel rule
+    # below never fires on them and the whole opt state stays replicated.
+    # That is deliberate — at ~1M params a replicated opt state costs a few
+    # MB per chip and avoids a gather in the flattened update. The rule is
+    # kept path-based so an unflattened optimizer would still TP-shard any
+    # mirrored wide kernels.
     def leaf_rule(path, leaf):
         if hasattr(leaf, "ndim") and leaf.ndim == 2:
             return rule(path, leaf)

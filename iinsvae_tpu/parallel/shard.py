@@ -26,14 +26,18 @@ try:
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
-_SUM_KEYS = ("se", "ae", "correct", "count")
+from iinsvae_tpu.training.steps import reduce_metrics
 
 
-def make_dp_train_step(grads_fn: Callable, mesh: Mesh, axis: str = "data") -> Callable:
+def make_dp_train_step(
+    grads_fn: Callable, mesh: Mesh, axis: str = "data", jit: bool = True
+) -> Callable:
     """Wrap an update-free grads_fn into a shard_map DP step.
 
     Returns step(state, batch, key) -> (state, metrics); batch arrays must
-    be shardable on axis 0 by mesh.shape[axis].
+    be shardable on axis 0 by mesh.shape[axis]. Pass jit=False to get the
+    traceable step for composition inside an outer jit (e.g. the whole-epoch
+    lax.scan runner, training/loop.py) — the outer jit then owns donation.
     """
 
     def local(state, batch, key):
@@ -41,12 +45,10 @@ def make_dp_train_step(grads_fn: Callable, mesh: Mesh, axis: str = "data") -> Ca
         key = jax.random.fold_in(key, lax.axis_index(axis))
         grads, metrics, mut = grads_fn(state, batch, key)
         grads = lax.pmean(grads, axis)
-        out_metrics = {}
-        for k, v in metrics.items():
-            if k in _SUM_KEYS:
-                out_metrics[k] = lax.psum(v, axis)
-            else:
-                out_metrics[k] = lax.pmean(v, axis)
+        # exact global metrics: sums psum'd, weighted means recombined with
+        # their true denominators (uneven padding / supervision masks across
+        # shards would skew a pmean of per-shard means)
+        out_metrics = reduce_metrics(metrics, lambda v: lax.psum(v, axis))
         new_bs = jax.tree.map(
             lambda x: lax.pmean(x, axis), mut.get("batch_stats", state.batch_stats)
         )
@@ -67,7 +69,7 @@ def make_dp_train_step(grads_fn: Callable, mesh: Mesh, axis: str = "data") -> Ca
         )
         return fn(state, batch, key)
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jax.jit(step, donate_argnums=(0,)) if jit else step
 
 
 def place_dp(mesh: Mesh, state, batch: dict, axis: str = "data"):

@@ -16,9 +16,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from iinsvae_tpu.training.steps import finalize_metrics
-
-_SUM_KEYS = ("se", "ae", "correct", "count")
+from iinsvae_tpu.training.steps import SUM_KEYS, finalize_metrics, reduce_metrics
 
 
 def pad_to_batches(data: dict, batch_size: int) -> dict:
@@ -64,12 +62,10 @@ def make_epoch_runner(train_step: Callable, batch_size: int, shuffle: bool = Tru
             return st, m
 
         state, ms = jax.lax.scan(body, state, (batched, jnp.arange(nb)))
-        acc = {}
-        for k, v in ms.items():
-            if k in _SUM_KEYS:
-                acc[k] = jnp.sum(v)
-            else:
-                acc[k] = jnp.mean(v)
+        # exact epoch metrics: per-batch weighted means recombined with
+        # their true denominators (the padded tail batch would otherwise
+        # skew a mean of per-batch means)
+        acc = reduce_metrics(ms, jnp.sum)
         return state, acc
 
     return run_epoch
@@ -96,7 +92,7 @@ def make_evaluator(eval_step: Callable, batch_size: int):
             return None, (m, out)
 
         _, (ms, outs) = jax.lax.scan(body, None, batched)
-        acc = {k: jnp.sum(v) for k, v in ms.items() if k in _SUM_KEYS}
+        acc = {k: jnp.sum(v) for k, v in ms.items() if k in SUM_KEYS}
         return acc, outs
 
     def run(state, data):

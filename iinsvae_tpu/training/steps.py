@@ -24,24 +24,62 @@ from iinsvae_tpu.training.state import TrainState
 
 def _metrics(err_est, err, logits, label, weight):
     w = weight.reshape(-1)
-    n = jnp.maximum(jnp.sum(w), 1.0)
     se = jnp.sum(((err_est - err).reshape(-1) ** 2) * w)
     ae = jnp.sum(jnp.abs(err_est - err).reshape(-1) * w)
     pred = jnp.argmax(logits, axis=-1)
     correct = jnp.sum((pred == label.reshape(-1).astype(pred.dtype)) * w)
-    return {"se": se, "ae": ae, "correct": correct, "count": n}
+    # count is the TRUE weight sum (an all-padding shard reports 0); clamping
+    # happens only at division time (finalize_metrics / reduce_metrics)
+    return {"se": se, "ae": ae, "correct": correct, "count": jnp.sum(w)}
+
+
+# Metric-accumulation conventions shared by the shard_map DP step
+# (parallel/shard.py) and the epoch scan (training/loop.py):
+#   * SUM_KEYS are per-shard/per-batch SUMS — reduce by summation;
+#   * every other key is a weighted MEAN whose denominator is the metric
+#     named in MEAN_DENOMS (default 'count') — reduce as
+#     sum(mean * denom) / sum(denom), which is exact under uneven padding
+#     or supervision masks across shards/batches (mean-of-means is not);
+#   * 'loss' mixes denominators in the semi objective (recon/KL over all
+#     samples, res/env over the supervised subset) and is recomposed from
+#     its exactly-reduced parts.
+SUM_KEYS = ("se", "ae", "correct", "count", "sup_count")
+MEAN_DENOMS = {"loss_res": "sup_count", "loss_env": "sup_count"}
+_LOSS_PARTS = ("loss_ae", "loss_kl", "loss_res", "loss_env")
+
+
+def reduce_metrics(metrics: dict, sum_fn: Callable) -> dict:
+    """Exactly reduce per-shard / per-batch metric dicts to global values.
+
+    ``sum_fn(v)`` must sum v across the reduction axis (``lax.psum`` over a
+    mesh axis, ``jnp.sum`` over a scan axis)."""
+    out = {}
+    for k, v in metrics.items():
+        if k in SUM_KEYS:
+            out[k] = sum_fn(v)
+    for k, v in metrics.items():
+        if k in SUM_KEYS:
+            continue
+        d = MEAN_DENOMS.get(k, "count")
+        if d in metrics:
+            out[k] = sum_fn(v * metrics[d]) / jnp.maximum(out[d], 1.0)
+        else:
+            out[k] = sum_fn(v) / jnp.maximum(sum_fn(jnp.ones_like(v)), 1.0)
+    if "loss" in out and all(p in out for p in _LOSS_PARTS):
+        out["loss"] = sum(out[p] for p in _LOSS_PARTS)
+    return out
 
 
 def finalize_metrics(acc: dict) -> dict:
     """Accumulated sums -> epoch metrics (exact, not batch-mean-of-means)."""
-    n = acc["count"]
+    n = jnp.maximum(acc["count"], 1.0)
     out = {
         "rmse": jnp.sqrt(acc["se"] / n),
         "abs": acc["ae"] / n,
         "accuracy": acc["correct"] / n,
     }
     for k, v in acc.items():
-        if k not in ("se", "ae", "correct", "count"):
+        if k not in SUM_KEYS:
             out[k] = v
     return out
 
@@ -121,6 +159,9 @@ def make_semi_grads_fn(
         )
         metrics = _metrics(out["err_est"], err, out["logits"], label, weight)
         metrics.update(aux)
+        # denominator of the supervised loss terms, for exact cross-shard /
+        # cross-batch reduction of their weighted means (reduce_metrics)
+        metrics["sup_count"] = jnp.sum(weight.reshape(-1) * sup_mask)
         return grads, metrics, mut
 
     return grads_fn
@@ -225,7 +266,7 @@ def make_sep_e_train_step(model) -> Callable:
         metrics = {
             "loss": loss,
             "correct": jnp.sum((pred == label.reshape(-1).astype(pred.dtype)) * w),
-            "count": jnp.maximum(jnp.sum(w), 1.0),
+            "count": jnp.sum(w),
         }
         return state, metrics
 
@@ -261,12 +302,11 @@ def make_sep_m_train_step(model) -> Callable:
         state = state.apply_gradients(grads)
         state = state.replace(batch_stats=mut.get("batch_stats", state.batch_stats))
         w = weight.reshape(-1)
-        n = jnp.maximum(jnp.sum(w), 1.0)
         metrics = {
             "loss": loss,
             "se": jnp.sum(((err_est - err).reshape(-1) ** 2) * w),
             "ae": jnp.sum(jnp.abs(err_est - err).reshape(-1) * w),
-            "count": n,
+            "count": jnp.sum(w),
         }
         return state, metrics
 

@@ -108,3 +108,64 @@ def test_full_model_fused_vs_unfused_grads(rng):
         if not ok(a, b)
     ]
     assert not bad, bad
+
+
+@pytest.mark.parametrize(
+    "b,l_in,c_in,c_out",
+    [
+        (6, 128, 16, 32),   # env stage 2: channel-doubling, 128-lane rows
+        (6, 64, 32, 64),    # env stage 3
+        (5, 128, 16, 32),   # odd batch -> single-sample grid chunks
+        (12, 64, 64, 128),  # c_out == 128 lane-filling edge
+        (6, 32, 64, 64),    # env stage 4: constant-depth, 256-lane rows
+        (7, 16, 64, 64),    # env stage 5 (flagship n_downsample=4)
+    ],
+)
+def test_fused_strided_conv_matches_composed(rng, b, l_in, c_in, c_out):
+    from iinsvae_tpu.ops.pallas.strided_conv import applicable, fused_strided_conv
+
+    assert applicable(l_in, c_in, c_out, 4, 2, 1, "zero")
+    x = jnp.asarray(rng.normal(size=(b, l_in, c_in)), jnp.float32)
+    kernel = jnp.asarray(rng.normal(size=(4, c_in, c_out)) * 0.2, jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(c_out,)), jnp.float32)
+
+    def fused(x, kernel, bias):
+        return fused_strided_conv(x, kernel, bias, l_in=l_in, c_in=c_in)
+
+    def ref(x, kernel, bias):
+        return jax.nn.relu(
+            conv1d_dense(x, kernel, bias, stride=2, padding=1, pad_mode="zero")
+        )
+
+    got, want = fused(x, kernel, bias), ref(x, kernel, bias)
+    assert got.shape == (b, l_in // 2, c_out)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    for arg in range(3):
+        g1 = jax.grad(lambda *a: fused(*a).sum(), argnums=arg)(x, kernel, bias)
+        g0 = jax.grad(lambda *a: ref(*a).sum(), argnums=arg)(x, kernel, bias)
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g0), rtol=1e-3, atol=2e-4,
+            err_msg=f"grad argnum {arg}",
+        )
+
+
+def test_env_encoder_routes_wide_stages_to_strided_kernel(rng, monkeypatch):
+    """The flagship env encoder's two 2048-wide stages must hit the
+    strided-conv kernel (not the im2col fallback)."""
+    import iinsvae_tpu.ops.pallas.strided_conv as sc
+    from iinsvae_tpu.models.encoders import EnvEncoder1d
+
+    calls = []
+    orig = sc.fused_strided_conv
+
+    def spy(x, kernel, bias, *, l_in, c_in):
+        calls.append((l_in, c_in))
+        return orig(x, kernel, bias, l_in=l_in, c_in=c_in)
+
+    monkeypatch.setattr(sc, "fused_strided_conv", spy)
+    enc = EnvEncoder1d(dim=16, n_downsample=2, style_dim=16)
+    x = jnp.asarray(rng.normal(size=(4, 157, 1)), jnp.float32)
+    v = enc.init({"params": jax.random.PRNGKey(0)}, x)
+    enc.apply(v, x)
+    assert (128, 16) in calls and (64, 32) in calls, calls
