@@ -28,6 +28,8 @@ TIMED_EPOCHS = 20  # few-dispatch timings under-report on the tunnel; use many
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
@@ -37,9 +39,15 @@ def main():
     from iinsvae_tpu.training.steps import make_semi_train_step
     from iinsvae_tpu.training.loop import pad_to_batches, make_epoch_runner
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--compute_dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    args = ap.parse_args()
+    cdt = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+
     rng = np.random.default_rng(0)
     data = {
-        "cir": jnp.asarray(rng.standard_normal((N_SAMPLES, 157)), jnp.float32),
+        "cir": jnp.asarray(rng.standard_normal((N_SAMPLES, 157)), cdt),
         "err": jnp.asarray(np.abs(rng.standard_normal((N_SAMPLES, 1))), jnp.float32),
         "label": jnp.asarray(rng.integers(0, 5, (N_SAMPLES, 1)), jnp.float32),
     }

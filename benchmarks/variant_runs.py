@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Driver-level long runs for the soft-restorer and 2-D (conv_type=2) paths
+(VERDICT round-1 item 5): train each on the shared synthetic fixture and
+record quality, proving the variants CONVERGE rather than merely compile.
+
+Usage: python benchmarks/variant_runs.py [--epochs 400] [--which soft,conv2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import numpy as np
+
+
+def run_variant(tag: str, cfg, epochs: int, batch: int):
+    from iinsvae_tpu.cli.common import resolve_data, to_batch_dict, init_state
+    from iinsvae_tpu.cli.train_semi import build_model
+    from iinsvae_tpu.training.loop import pad_to_batches, make_epoch_runner, make_evaluator
+    from iinsvae_tpu.training.steps import (
+        make_semi_train_step,
+        make_semi_eval_step,
+        finalize_metrics,
+    )
+
+    data_train, data_test = resolve_data(cfg)
+    train = pad_to_batches(to_batch_dict(data_train), batch)
+    steps_per_epoch = train["cir"].shape[0] // batch
+    test_batch = to_batch_dict(data_test)
+    eval_bs = min(500, test_batch["cir"].shape[0])
+    padded_test = pad_to_batches(test_batch, eval_bs)
+    n_test = test_batch["cir"].shape[0]
+    err_gt = np.asarray(test_batch["err"]).reshape(-1)
+
+    model = build_model(cfg)
+    state = init_state(model, cfg, steps_per_epoch=steps_per_epoch)
+    run_epoch = make_epoch_runner(
+        make_semi_train_step(model, supervision_rate=cfg.supervision_rate), batch
+    )
+    evaluate = make_evaluator(make_semi_eval_step(model), eval_bs)
+
+    t0 = time.time()
+    key = jax.random.PRNGKey(cfg.seed)
+    first = None
+    for epoch in range(epochs):
+        state, metrics = run_epoch(state, train, jax.random.fold_in(key, epoch))
+        if epoch % 50 == 0 or epoch == epochs - 1:
+            m = jax.tree.map(float, finalize_metrics(metrics))
+            if first is None:
+                first = m["loss"]
+            print(f"[{tag}] epoch {epoch} loss {m['loss']:.4f} rmse {m['rmse']:.4f} "
+                  f"acc {m['accuracy']:.4f} ({time.time() - t0:.0f}s)", flush=True)
+    assert m["loss"] < first, f"{tag}: loss did not decrease ({first} -> {m['loss']})"
+
+    tm, outs = evaluate(state, padded_test)
+    est = np.asarray(outs["err_est"]).reshape(-1)[:n_test]
+    rmse = float(np.sqrt(np.mean((est - err_gt) ** 2)))
+    out = {"variant": tag, "rmse_m": round(rmse, 4),
+           "accuracy": round(float(tm["accuracy"]), 4), "epochs": epochs,
+           "train_seconds": round(time.time() - t0, 1)}
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main():
+    from iinsvae_tpu.config import Config
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=400)
+    ap.add_argument("--batch", type=int, default=500)
+    ap.add_argument("--synthetic_n", type=int, default=10000)
+    ap.add_argument("--which", default="soft,conv2")
+    args = ap.parse_args()
+
+    base = dict(dataset_env="room_full", synthetic_n=args.synthetic_n, seed=0,
+                n_epochs=args.epochs, batch_size=args.batch, supervision_rate=1.0)
+    results = []
+    which = args.which.split(",")
+    if "soft" in which:
+        results.append(run_variant(
+            "soft_restorer", Config(use_soft=True, **base), args.epochs, args.batch))
+    if "conv2" in which:
+        results.append(run_variant(
+            "conv_type2", Config(conv_type=2, **base), args.epochs, args.batch))
+    print(json.dumps({"metric": "variant_quality", "results": results}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

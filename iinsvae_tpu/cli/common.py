@@ -65,6 +65,27 @@ def resolve_data(cfg: Config):
             print(f"[data] no ewine csvs -> synthetic fixture at {root[0]} ...")
 
     env = cfg.dataset_env if cfg.dataset_name == "zenodo" else None
+
+    # memory-mapped binary cache of the assembled split (native mmap plane,
+    # runtime/cache.py): first run parses + writes, later runs fault pages
+    # in on demand — no pandas/pickle work at all.
+    cache_path = None
+    if getattr(cfg, "data_cache", True):
+        from iinsvae_tpu.runtime.cache import cache_key, read_cache, write_cache
+
+        src = root if isinstance(root, str) else root[0]
+        key = cache_key(
+            src, name=cfg.dataset_name, env=env, split=cfg.split_factor,
+            mode=cfg.mode, seed=cfg.seed,
+        )
+        cache_path = os.path.join(os.path.dirname(src) or ".", "cache", key + ".iinsc")
+        cached = read_cache(cache_path)
+        if cached is not None:
+            return (
+                (cached["train_cir"], cached["train_err"], cached["train_label"]),
+                (cached["test_cir"], cached["test_err"], cached["test_label"]),
+            )
+
     data_train, data_test, ftr, fte = err_mitigation_dataset(
         root,
         dataset_name=cfg.dataset_name,
@@ -74,6 +95,15 @@ def resolve_data(cfg: Config):
         mode=cfg.mode,
         seed=cfg.seed,
     )
+    if cache_path is not None:
+        from iinsvae_tpu.runtime.cache import write_cache
+
+        write_cache(cache_path, {
+            "train_cir": data_train[0], "train_err": data_train[1],
+            "train_label": data_train[2],
+            "test_cir": data_test[0], "test_err": data_test[1],
+            "test_label": data_test[2],
+        })
     return data_train, data_test
 
 

@@ -18,6 +18,8 @@ from iinsvae_tpu.training.checkpoint import (
     semi_result_dir,
     save_checkpoint,
     restore_checkpoint,
+    gc_checkpoints,
+    update_best,
 )
 from iinsvae_tpu.evaluation.evaluate import evaluate_semi
 from iinsvae_tpu.cli.common import (
@@ -92,6 +94,7 @@ def main(argv=None, cfg: Config | None = None):
             epoch_log(epoch, jax.tree.map(float, finalize_metrics(metrics)))
             if cfg.checkpoint_interval != -1 and epoch % cfg.checkpoint_interval == 0:
                 save_checkpoint(model_path, epoch, final_state)
+                gc_checkpoints(model_path, cfg.keep_last)
             if cfg.sample_interval and epoch % cfg.sample_interval == 0 and epoch > 0:
                 m = evaluate_semi(
                     model, final_state, test_batch, eval_bs,
@@ -100,8 +103,13 @@ def main(argv=None, cfg: Config | None = None):
                 )
                 logger.info(f"[val epoch {epoch}] " + " ".join(
                     f"[{k}: {v:.6f}]" for k, v in m.items() if isinstance(v, float)))
+                # best-model tracking keyed on validation range-RMSE
+                if update_best(model_path, epoch, m["rmse"]):
+                    save_checkpoint(model_path, epoch, final_state)
+                    logger.info(f"[best epoch {epoch}] rmse {m['rmse']:.6f}")
 
     save_checkpoint(model_path, cfg.n_epochs, final_state)
+    gc_checkpoints(model_path, cfg.keep_last)
     m = evaluate_semi(
         model, final_state, test_batch, eval_bs,
         result_path=result_path, epoch=cfg.n_epochs,

@@ -69,6 +69,7 @@ class Config:
     # intervals (utils.py:51-52)
     sample_interval: int = 20
     checkpoint_interval: int = 50
+    keep_last: int = -1  # checkpoint GC: keep newest N (+best); <=0 keeps all
     # semi (train_semi.py:34)
     supervision_rate: float = 0.1
     mask_mode: str = "sample"  # sample (intent) | batch (reference literal)
@@ -80,6 +81,7 @@ class Config:
     model_dir: str = "./saved_models"
     compute_dtype: str = "float32"
     allow_synthetic: bool = True  # fall back to the synthetic fixture
+    data_cache: bool = True  # mmap binary cache of the assembled split
     synthetic_n: int = 8192
 
     # ------- derived -------
@@ -141,6 +143,8 @@ def add_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     a("--split_factor", type=float, default=d.split_factor)
     a("--sample_interval", type=int, default=d.sample_interval)
     a("--checkpoint_interval", type=int, default=d.checkpoint_interval)
+    a("--keep_last", type=int, default=d.keep_last,
+      help="checkpoint GC: keep only the newest N epoch checkpoints (plus the best); <=0 keeps all")
     a("--supervision_rate", type=float, default=d.supervision_rate)
     a("--mask_mode", type=str, default=d.mask_mode, choices=["sample", "batch"])
     a("--profile_dir", type=str, default=d.profile_dir, help="write a jax.profiler trace here")
@@ -150,6 +154,7 @@ def add_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     a("--model_dir", type=str, default=d.model_dir)
     a("--compute_dtype", type=str, default=d.compute_dtype)
     a("--no_synthetic", action="store_true", help="fail instead of falling back to the synthetic fixture")
+    a("--no_data_cache", action="store_true", help="disable the mmap binary dataset cache")
     a("--synthetic_n", type=int, default=d.synthetic_n)
     return parser
 
@@ -163,6 +168,8 @@ def from_args(args: argparse.Namespace) -> Config:
         cfg.conv_type = args.ae_type
     if getattr(args, "no_synthetic", False):
         cfg.allow_synthetic = False
+    if getattr(args, "no_data_cache", False):
+        cfg.data_cache = False
     # normalize the two net-type vocabularies
     cfg.identifier_type = _NET_NAMES[getattr(args, "identifier_type", "1")]
     cfg.regressor_type = _NET_NAMES[getattr(args, "regressor_type", "1")]

@@ -112,3 +112,83 @@ def latest_epoch(model_dir: str, tag: str = "") -> Optional[int]:
         if d.startswith(prefix) and d[len(prefix):].isdigit()
     ]
     return max(epochs) if epochs else None
+
+
+def list_epochs(model_dir: str, tag: str = "") -> list:
+    prefix = f"{tag}_epoch_" if tag else "epoch_"
+    if not os.path.isdir(model_dir):
+        return []
+    return sorted(
+        int(d[len(prefix):])
+        for d in os.listdir(model_dir)
+        if d.startswith(prefix) and d[len(prefix):].isdigit()
+    )
+
+
+# --------------------- retention + best tracking ---------------------
+#
+# The reference keeps every Nth-epoch .pth forever and has no notion of a
+# best model (train_semi.py:281-286). Here: keep-last-N GC plus an atomic
+# ``best.json`` pointer {epoch, metric} updated on validation RMSE — the
+# pointer is swapped with os.replace so a crash never leaves a torn alias,
+# and GC never deletes the pointed-at epoch.
+
+_BEST_FILE = "best.json"
+
+
+def best_epoch(model_dir: str) -> Optional[dict]:
+    """{'epoch': int, 'metric': float} for the current best, or None."""
+    import json
+
+    path = os.path.join(model_dir, _BEST_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def update_best(model_dir: str, epoch: int, metric: float) -> bool:
+    """Atomically point ``best`` at ``epoch`` when ``metric`` improves
+    (lower is better, e.g. val RMSE). Returns True on a new best."""
+    import json
+
+    cur = best_epoch(model_dir)
+    if cur is not None and cur["metric"] <= metric:
+        return False
+    os.makedirs(model_dir, exist_ok=True)
+    path = os.path.join(model_dir, _BEST_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"epoch": int(epoch), "metric": float(metric)}, f)
+    os.replace(tmp, path)
+    return True
+
+
+def restore_best(model_dir: str, state, tag: str = ""):
+    """Restore the best-pointed checkpoint; raises FileNotFoundError when
+    no best has been recorded."""
+    best = best_epoch(model_dir)
+    if best is None:
+        raise FileNotFoundError(f"no {_BEST_FILE} under {model_dir}")
+    return restore_checkpoint(model_dir, best["epoch"], state, tag=tag)
+
+
+def gc_checkpoints(model_dir: str, keep_last: int, tag: str = "") -> list:
+    """Delete all but the newest ``keep_last`` epoch checkpoints (and never
+    the best-pointed epoch). keep_last <= 0 keeps everything (the
+    reference's behavior). Returns the removed epochs."""
+    import shutil
+
+    if keep_last <= 0:
+        return []
+    epochs = list_epochs(model_dir, tag)
+    protect = set(epochs[-keep_last:])
+    best = best_epoch(model_dir)
+    if best is not None:
+        protect.add(best["epoch"])
+    removed = []
+    for e in epochs:
+        if e not in protect:
+            shutil.rmtree(_ckpt_path(model_dir, e, tag), ignore_errors=True)
+            removed.append(e)
+    return removed

@@ -239,3 +239,162 @@ void iins_standardize_apply(double* x, int64_t n, int64_t d,
 }
 
 }  // extern "C"
+
+// ------------------------------------------------------- binary cache ----
+//
+// Memory-mapped dataset cache: after the first parse+split, the assembled
+// arrays are written once into a single aligned binary file; subsequent
+// runs mmap it (zero parse, zero copy until first touch). Replaces the
+// reference's ~270 s pandas reload on every launch (dataset.py:192).
+//
+// Layout: 8-byte magic "IINSC01\0", int64 n_arrays, then n_arrays records
+// of {char name[16]; int64 dtype (0=f32,1=f64,2=i64); int64 ndim;
+// int64 dims[4]; int64 offset}, then 64-byte-aligned array payloads.
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+constexpr char kMagic[8] = {'I', 'I', 'N', 'S', 'C', '0', '1', '\0'};
+
+struct CacheRecord {
+  char name[16];
+  int64_t dtype;
+  int64_t ndim;
+  int64_t dims[4];
+  int64_t offset;
+};
+
+struct CacheHandle {
+  void* base;
+  int64_t size;
+  int64_t n_arrays;
+  const CacheRecord* records;
+};
+
+int64_t dtype_size(int64_t dtype) {
+  switch (dtype) {
+    case 0: return 4;   // f32
+    case 1: return 8;   // f64
+    case 2: return 8;   // i64
+    default: return 0;
+  }
+}
+
+int64_t record_elems(const CacheRecord& r) {
+  int64_t n = 1;
+  for (int64_t i = 0; i < r.ndim; ++i) n *= r.dims[i];
+  return n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Write arrays to `path` atomically (tmp file + rename). Returns 0 on
+// success. names: n null-terminated strings (<=15 chars); dims row-major
+// (n, 4) with unused trailing dims = 1.
+int64_t iins_cache_write(const char* path, int64_t n, const char** names,
+                         const int64_t* dtypes, const int64_t* ndims,
+                         const int64_t* dims, const void** datas) {
+  std::string tmp = std::string(path) + ".tmp";
+  FILE* f = std::fopen(tmp.c_str(), "wb");
+  if (!f) return -1;
+
+  std::vector<CacheRecord> recs(static_cast<size_t>(n));
+  int64_t offset = 8 + 8 + n * static_cast<int64_t>(sizeof(CacheRecord));
+  for (int64_t i = 0; i < n; ++i) {
+    CacheRecord& r = recs[static_cast<size_t>(i)];
+    std::memset(&r, 0, sizeof(r));
+    std::snprintf(r.name, sizeof(r.name), "%s", names[i]);
+    r.dtype = dtypes[i];
+    r.ndim = ndims[i];
+    if (r.ndim < 1 || r.ndim > 4 || dtype_size(r.dtype) == 0) {
+      std::fclose(f);
+      std::remove(tmp.c_str());
+      return -2;
+    }
+    for (int64_t d = 0; d < 4; ++d) r.dims[d] = d < r.ndim ? dims[i * 4 + d] : 1;
+    offset = (offset + 63) & ~int64_t{63};  // 64-byte alignment
+    r.offset = offset;
+    offset += record_elems(r) * dtype_size(r.dtype);
+  }
+
+  bool ok = std::fwrite(kMagic, 1, 8, f) == 8 &&
+            std::fwrite(&n, 8, 1, f) == 1 &&
+            std::fwrite(recs.data(), sizeof(CacheRecord),
+                        static_cast<size_t>(n), f) == static_cast<size_t>(n);
+  for (int64_t i = 0; ok && i < n; ++i) {
+    const CacheRecord& r = recs[static_cast<size_t>(i)];
+    long pos = std::ftell(f);
+    for (; pos < r.offset; ++pos) std::fputc(0, f);
+    int64_t bytes = record_elems(r) * dtype_size(r.dtype);
+    ok = std::fwrite(datas[i], 1, static_cast<size_t>(bytes), f) ==
+         static_cast<size_t>(bytes);
+  }
+  if (std::fclose(f) != 0) ok = false;
+  if (!ok || std::rename(tmp.c_str(), path) != 0) {
+    std::remove(tmp.c_str());
+    return -3;
+  }
+  return 0;
+}
+
+// mmap `path`; returns an opaque handle (nullptr on error / bad magic).
+void* iins_cache_open(const char* path) {
+  int fd = ::open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size < 16) {
+    ::close(fd);
+    return nullptr;
+  }
+  void* base = mmap(nullptr, static_cast<size_t>(st.st_size), PROT_READ,
+                    MAP_PRIVATE, fd, 0);
+  ::close(fd);  // mapping keeps the file alive
+  if (base == MAP_FAILED) return nullptr;
+  if (std::memcmp(base, kMagic, 8) != 0) {
+    munmap(base, static_cast<size_t>(st.st_size));
+    return nullptr;
+  }
+  auto* h = new CacheHandle;
+  h->base = base;
+  h->size = st.st_size;
+  std::memcpy(&h->n_arrays, static_cast<char*>(base) + 8, 8);
+  h->records =
+      reinterpret_cast<const CacheRecord*>(static_cast<char*>(base) + 16);
+  return h;
+}
+
+int64_t iins_cache_count(void* handle) {
+  return handle ? static_cast<CacheHandle*>(handle)->n_arrays : 0;
+}
+
+// Fill name/dtype/ndim/dims for array #i; returns the data pointer into the
+// mapping (valid until iins_cache_close), or nullptr when out of range or
+// the record would point outside the file.
+const void* iins_cache_array(void* handle, int64_t i, char* name16,
+                             int64_t* dtype, int64_t* ndim, int64_t* dims4) {
+  auto* h = static_cast<CacheHandle*>(handle);
+  if (!h || i < 0 || i >= h->n_arrays) return nullptr;
+  const CacheRecord& r = h->records[i];
+  int64_t bytes = record_elems(r) * dtype_size(r.dtype);
+  if (r.offset < 0 || r.offset + bytes > h->size) return nullptr;
+  std::memcpy(name16, r.name, 16);
+  *dtype = r.dtype;
+  *ndim = r.ndim;
+  for (int64_t d = 0; d < 4; ++d) dims4[d] = r.dims[d];
+  return static_cast<const char*>(h->base) + r.offset;
+}
+
+void iins_cache_close(void* handle) {
+  auto* h = static_cast<CacheHandle*>(handle);
+  if (!h) return;
+  munmap(h->base, static_cast<size_t>(h->size));
+  delete h;
+}
+
+}  // extern "C"

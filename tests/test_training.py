@@ -146,3 +146,50 @@ def test_metrics_match_manual():
     err = np.asarray(data["err"])
     want_rmse = np.sqrt(np.mean((err_est - err) ** 2))
     assert float(m["rmse"]) == pytest.approx(want_rmse, rel=1e-5)
+
+
+def test_checkpoint_gc_and_best_tracking(tmp_path):
+    """keep-last-N retention + atomic best pointer (VERDICT r1 item 8)."""
+    from iinsvae_tpu.training.checkpoint import (
+        best_epoch,
+        gc_checkpoints,
+        list_epochs,
+        restore_best,
+        restore_checkpoint,
+        save_checkpoint,
+        update_best,
+    )
+
+    model = IInsVAE(cir_len=157, num_classes=5)
+    v = model.init({"params": jax.random.PRNGKey(0)}, jnp.ones((2, 157)))
+    state = create_train_state(model, v, make_optimizer())
+    d = str(tmp_path / "ckpts")
+
+    rmse = {10: 0.5, 20: 0.3, 30: 0.4, 40: 0.35, 50: 0.32}
+    for e, m in rmse.items():
+        save_checkpoint(d, e, state.replace(step=jnp.asarray(e)))
+        update_best(d, e, m)
+
+    # best is epoch 20 (0.3), not overwritten by later, worse epochs
+    assert best_epoch(d) == {"epoch": 20, "metric": 0.3}
+
+    removed = gc_checkpoints(d, keep_last=2)
+    # newest 2 (40, 50) survive, plus the protected best (20)
+    assert removed == [10, 30]
+    assert list_epochs(d) == [20, 40, 50]
+
+    best_state = restore_best(d, state)
+    assert int(best_state.step) == 20
+    latest = restore_checkpoint(d, 50, state)
+    assert int(latest.step) == 50
+
+    # keep_last <= 0 keeps everything (the reference's behavior)
+    assert gc_checkpoints(d, keep_last=0) == []
+    assert list_epochs(d) == [20, 40, 50]
+
+
+def test_restore_best_missing(tmp_path):
+    from iinsvae_tpu.training.checkpoint import restore_best
+
+    with pytest.raises(FileNotFoundError):
+        restore_best(str(tmp_path / "none"), None)
