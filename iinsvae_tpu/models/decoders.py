@@ -118,13 +118,13 @@ class Decoder1d(nn.Module):
                 m2 = dense_ops.dense_conv_matrix(
                     blk_kernels[i][1], l0, padding=1, pad_mode="reflect"
                 )
-                y2 = pf.fused_adain_layer(
-                    x2, m1, jnp.tile(g1, (1, l0)), jnp.tile(b1, (1, l0)),
-                    l_out=l0, c_out=dim, act="relu",
-                )
-                x2 = pf.fused_adain_layer(
-                    y2, m2, jnp.tile(g2, (1, l0)), jnp.tile(b2, (1, l0)),
-                    l_out=l0, c_out=dim, act="none", residual=x2,
+                # the WHOLE block — conv+AdaIN+relu+conv+AdaIN+skip — in one
+                # kernel each way
+                x2 = pf.fused_adain_res_block(
+                    x2, m1, m2,
+                    jnp.tile(g1, (1, l0)), jnp.tile(b1, (1, l0)),
+                    jnp.tile(g2, (1, l0)), jnp.tile(b2, (1, l0)),
+                    l_out=l0, c_out=dim,
                 )
             l = l0
             for j in range(self.n_upsample):

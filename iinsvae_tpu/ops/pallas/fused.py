@@ -257,6 +257,153 @@ def fused_res_block(x, m1, m2, *, l_out: int, c_out: int):
     return _make_resblock_layer(l_out, c_out)(x, m1c, m2c)
 
 
+# ---------------- whole-residual-block kernel (AdaIN, per-sample affine) ----------------
+#
+# The decoder's three AdaIN residual blocks each ran as TWO fused_adain_layer
+# kernels; this folds conv+AdaIN+relu+conv+AdaIN+skip into ONE kernel each
+# way (mirroring fused_res_block), halving launches and skipping the HBM
+# round trip of the mid-block activation. gamma/beta are per-sample (B, N)
+# tiles predicted by the MLP. Batch is chunked on a sample-aligned grid so
+# the backward's working set stays inside VMEM; dM1/dM2 accumulate across
+# grid steps (TPU grids are sequential).
+
+
+def _fwd_adain_block_kernel(refs):
+    x_ref, m1_ref, m2_ref, pmu_ref, g1_ref, b1_ref, g2_ref, b2_ref, \
+        out_ref, d1_ref, d2_ref = refs
+    x = _ld(x_ref)
+    pmu = _ld(pmu_ref)
+    d1 = jnp.dot(x, _ld(m1_ref), preferred_element_type=jnp.float32)
+    r1 = jax.lax.rsqrt(jnp.dot(d1 * d1, pmu, preferred_element_type=jnp.float32) + _EPS)
+    y1 = jnp.maximum((d1 * r1) * _ld(g1_ref) + _ld(b1_ref), 0.0)
+    d2 = jnp.dot(y1, _ld(m2_ref), preferred_element_type=jnp.float32)
+    r2 = jax.lax.rsqrt(jnp.dot(d2 * d2, pmu, preferred_element_type=jnp.float32) + _EPS)
+    out_ref[:] = ((d2 * r2) * _ld(g2_ref) + _ld(b2_ref) + x).astype(out_ref.dtype)
+    d1_ref[:] = d1.astype(d1_ref.dtype)
+    d2_ref[:] = d2.astype(d2_ref.dtype)
+
+
+def _bwd_adain_block_kernel(refs):
+    g_ref, x_ref, d1_ref, d2_ref, m1_ref, m2_ref, pmu_ref, \
+        g1_ref, b1_ref, g2_ref, \
+        dx_ref, dm1_ref, dm2_ref, dgf1_ref, dbf1_ref, dgf2_ref = refs
+    g = _ld(g_ref)
+    x = _ld(x_ref)
+    d1 = _ld(d1_ref)
+    d2 = _ld(d2_ref)
+    pmu = _ld(pmu_ref)
+    g1f = _ld(g1_ref)
+    g2f = _ld(g2_ref)
+
+    # r's recomputed from the saved pre-norm activations (VMEM budget)
+    r2 = jax.lax.rsqrt(jnp.dot(d2 * d2, pmu, preferred_element_type=jnp.float32) + _EPS)
+    yh2 = d2 * r2
+    dgf2_ref[:] = (g * yh2).astype(dgf2_ref.dtype)  # dbf2 = g, returned outside
+    gyh2 = g * g2f
+    a2 = gyh2 * d2 * (r2 * r2 * r2)
+    gd2 = r2 * gyh2 - d2 * jnp.dot(a2, pmu, preferred_element_type=jnp.float32)
+
+    r1 = jax.lax.rsqrt(jnp.dot(d1 * d1, pmu, preferred_element_type=jnp.float32) + _EPS)
+    yh1 = d1 * r1
+    h1 = yh1 * g1f + _ld(b1_ref)
+    y1 = jnp.maximum(h1, 0.0)
+
+    gy1 = jnp.dot(gd2, _ld(m2_ref).T, preferred_element_type=jnp.float32)
+    gh1 = jnp.where(h1 > 0, gy1, 0.0)
+    dgf1_ref[:] = (gh1 * yh1).astype(dgf1_ref.dtype)
+    dbf1_ref[:] = gh1.astype(dbf1_ref.dtype)
+    gyh1 = gh1 * g1f
+    a1 = gyh1 * d1 * (r1 * r1 * r1)
+    gd1 = r1 * gyh1 - d1 * jnp.dot(a1, pmu, preferred_element_type=jnp.float32)
+
+    dx_ref[:] = (jnp.dot(gd1, _ld(m1_ref).T, preferred_element_type=jnp.float32) + g).astype(dx_ref.dtype)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dm1_ref[:] = jnp.zeros_like(dm1_ref)
+        dm2_ref[:] = jnp.zeros_like(dm2_ref)
+
+    dm1_ref[:] += jnp.dot(x.T, gd1, preferred_element_type=jnp.float32).astype(dm1_ref.dtype)
+    dm2_ref[:] += jnp.dot(y1.T, gd2, preferred_element_type=jnp.float32).astype(dm2_ref.dtype)
+
+
+def _batch_chunk(b: int, max_c: int = 128) -> int:
+    """Largest divisor of b <= max_c divisible by 8 (Mosaic sublane rule);
+    falls back to the whole batch (full-array blocks are unconstrained)."""
+    for c in range(min(b, max_c), 0, -1):
+        if b % c == 0 and c % 8 == 0:
+            return c
+    return b
+
+
+@functools.lru_cache(maxsize=None)
+def _make_adain_block_layer(l_out: int, c_out: int):
+    n = l_out * c_out
+
+    def fwd_call(x, m1, m2, g1, b1, g2, b2):
+        b = x.shape[0]
+        c = _batch_chunk(b)
+        grid = (b // c,)
+        pmu = jnp.asarray(_pmu_np(l_out, c_out))
+        row = pl.BlockSpec((c, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        mat = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            lambda *refs: _fwd_adain_block_kernel(refs),
+            grid=grid,
+            out_shape=tuple(jax.ShapeDtypeStruct((b, n), x.dtype) for _ in range(3)),
+            in_specs=[row, mat, mat, mat, row, row, row, row],
+            out_specs=(row, row, row),
+            interpret=_interpret(),
+        )(x, m1, m2, pmu, g1, b1, g2, b2)
+
+    def bwd_call(g, x, d1, d2, m1, m2, g1, b1, g2):
+        b = x.shape[0]
+        c = _batch_chunk(b)
+        grid = (b // c,)
+        pmu = jnp.asarray(_pmu_np(l_out, c_out))
+        row = pl.BlockSpec((c, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        mat = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            lambda *refs: _bwd_adain_block_kernel(refs),
+            grid=grid,
+            out_shape=(
+                jax.ShapeDtypeStruct((b, n), x.dtype),   # dx
+                jax.ShapeDtypeStruct((n, n), m1.dtype),  # dm1
+                jax.ShapeDtypeStruct((n, n), m2.dtype),  # dm2
+                jax.ShapeDtypeStruct((b, n), x.dtype),   # dgf1
+                jax.ShapeDtypeStruct((b, n), x.dtype),   # dbf1
+                jax.ShapeDtypeStruct((b, n), x.dtype),   # dgf2
+            ),
+            in_specs=[row, row, row, row, mat, mat, mat, row, row, row],
+            out_specs=(row, mat, mat, row, row, row),
+            interpret=_interpret(),
+        )(g, x, d1, d2, m1, m2, pmu, g1, b1, g2)
+
+    @jax.custom_vjp
+    def layer(x, m1, m2, g1, b1, g2, b2):
+        return fwd_call(x, m1, m2, g1, b1, g2, b2)[0]
+
+    def layer_fwd(x, m1, m2, g1, b1, g2, b2):
+        out, d1, d2 = fwd_call(x, m1, m2, g1, b1, g2, b2)
+        return out, (x, d1, d2, m1, m2, g1, b1, g2)
+
+    def layer_bwd(saved, g):
+        x, d1, d2, m1, m2, g1, b1, g2 = saved
+        dx, dm1, dm2, dgf1, dbf1, dgf2 = bwd_call(g, x, d1, d2, m1, m2, g1, b1, g2)
+        return dx, dm1, dm2, dgf1, dbf1, dgf2, g  # dbf2 = cotangent (affine shift)
+
+    layer.defvjp(layer_fwd, layer_bwd)
+    return layer
+
+
+def fused_adain_res_block(x, m1, m2, g1, b1, g2, b2, *, l_out: int, c_out: int):
+    """Whole AdaIN residual block — conv+AdaIN+relu+conv+AdaIN+skip — as ONE
+    Pallas kernel forward and one backward. g*/b*: per-sample (B, N) tiles."""
+    m1c = center_matrix(m1, l_out, c_out)
+    m2c = center_matrix(m2, l_out, c_out)
+    return _make_adain_block_layer(l_out, c_out)(x, m1c, m2c, g1, b1, g2, b2)
+
+
 # --------------------- decoder kernels: AdaIN / SLN / tanh+pool ---------------------
 
 

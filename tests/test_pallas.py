@@ -169,3 +169,47 @@ def test_env_encoder_routes_wide_stages_to_strided_kernel(rng, monkeypatch):
     v = enc.init({"params": jax.random.PRNGKey(0)}, x)
     enc.apply(v, x)
     assert (128, 16) in calls and (64, 32) in calls, calls
+
+
+@pytest.mark.parametrize("b", [6, 16])
+def test_fused_adain_res_block_matches_composed(rng, b):
+    """Whole AdaIN residual block kernel == composed conv/adain/relu math,
+    values and every VJP (x, both convs, all four per-sample affines)."""
+    from iinsvae_tpu.ops.norms import adain
+    from iinsvae_tpu.ops.pallas.fused import fused_adain_res_block
+
+    l, c = 8, 64
+    x2 = jnp.asarray(rng.normal(size=(b, l * c)), jnp.float32)
+    k1 = jnp.asarray(rng.normal(size=(3, c, c)) * 0.2, jnp.float32)
+    k2 = jnp.asarray(rng.normal(size=(3, c, c)) * 0.2, jnp.float32)
+    affs = [jnp.asarray(rng.normal(size=(b, c)), jnp.float32) for _ in range(4)]
+    g1, b1, g2, b2 = affs
+
+    def fused(x2, k1, k2, g1, b1, g2, b2):
+        m1 = dense_conv_matrix(k1, l, padding=1, pad_mode="reflect")
+        m2 = dense_conv_matrix(k2, l, padding=1, pad_mode="reflect")
+        return fused_adain_res_block(
+            x2, m1, m2,
+            jnp.tile(g1, (1, l)), jnp.tile(b1, (1, l)),
+            jnp.tile(g2, (1, l)), jnp.tile(b2, (1, l)),
+            l_out=l, c_out=c,
+        )
+
+    def composed(x2, k1, k2, g1, b1, g2, b2):
+        x = x2.reshape(b, l, c)
+        y = conv1d_dense(x, k1, None, padding=1, pad_mode="reflect")
+        y = jax.nn.relu(adain(y, g1, b1))
+        y = conv1d_dense(y, k2, None, padding=1, pad_mode="reflect")
+        return (x + adain(y, g2, b2)).reshape(b, l * c)
+
+    args = (x2, k1, k2, g1, b1, g2, b2)
+    np.testing.assert_allclose(
+        np.asarray(fused(*args)), np.asarray(composed(*args)), rtol=1e-4, atol=1e-4
+    )
+    for i in range(7):
+        ga = jax.grad(lambda *a: fused(*a).sum(), argnums=i)(*args)
+        gb = jax.grad(lambda *a: composed(*a).sum(), argnums=i)(*args)
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb), rtol=1e-3, atol=3e-4,
+            err_msg=f"grad argnum {i}",
+        )
