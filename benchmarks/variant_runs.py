@@ -27,7 +27,7 @@ def run_variant(tag: str, cfg, epochs: int, batch: int):
     )
 
     data_train, data_test = resolve_data(cfg)
-    train = pad_to_batches(to_batch_dict(data_train), batch)
+    train = pad_to_batches(to_batch_dict(data_train, cfg.compute_dtype), batch)
     steps_per_epoch = train["cir"].shape[0] // batch
     test_batch = to_batch_dict(data_test)
     eval_bs = min(500, test_batch["cir"].shape[0])
@@ -73,10 +73,12 @@ def main():
     ap.add_argument("--batch", type=int, default=500)
     ap.add_argument("--synthetic_n", type=int, default=10000)
     ap.add_argument("--which", default="soft,conv2")
+    ap.add_argument("--compute_dtype", default="float32")
     args = ap.parse_args()
 
     base = dict(dataset_env="room_full", synthetic_n=args.synthetic_n, seed=0,
-                n_epochs=args.epochs, batch_size=args.batch, supervision_rate=1.0)
+                n_epochs=args.epochs, batch_size=args.batch, supervision_rate=1.0,
+                compute_dtype=args.compute_dtype)
     results = []
     which = args.which.split(",")
     if "soft" in which:
@@ -84,7 +86,8 @@ def main():
             "soft_restorer", Config(use_soft=True, **base), args.epochs, args.batch))
     if "conv2" in which:
         results.append(run_variant(
-            "conv_type2", Config(conv_type=2, **base), args.epochs, args.batch))
+            f"conv_type2_{args.compute_dtype}", Config(conv_type=2, **base),
+            args.epochs, args.batch))
     print(json.dumps({"metric": "variant_quality", "results": results}), flush=True)
 
 

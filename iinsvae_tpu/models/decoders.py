@@ -113,10 +113,12 @@ class Decoder1d(nn.Module):
             for i in range(self.n_residual):
                 (g1, b1), (g2, b2) = per_block[i]
                 m1 = dense_ops.dense_conv_matrix(
-                    blk_kernels[i][0], l0, padding=1, pad_mode="reflect"
+                    blk_kernels[i][0], l0, padding=1, pad_mode="reflect",
+                    centered=True,
                 )
                 m2 = dense_ops.dense_conv_matrix(
-                    blk_kernels[i][1], l0, padding=1, pad_mode="reflect"
+                    blk_kernels[i][1], l0, padding=1, pad_mode="reflect",
+                    centered=True,
                 )
                 # the WHOLE block — conv+AdaIN+relu+conv+AdaIN+skip — in one
                 # kernel each way
@@ -124,7 +126,7 @@ class Decoder1d(nn.Module):
                     x2, m1, m2,
                     jnp.tile(g1, (1, l0)), jnp.tile(b1, (1, l0)),
                     jnp.tile(g2, (1, l0)), jnp.tile(b2, (1, l0)),
-                    l_out=l0, c_out=dim,
+                    l_out=l0, c_out=dim, centered=True,
                 )
             l = l0
             for j in range(self.n_upsample):

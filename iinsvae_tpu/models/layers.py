@@ -169,6 +169,7 @@ class ConvINAct(nn.Module):
             m = dense_ops.dense_conv_matrix(
                 kernel.astype(x.dtype), l_in, stride=self.stride,
                 padding=self.padding, pad_mode=self.pad_mode,
+                centered=self.norm == "in",
             )
             full_bias = None
             if bias is not None:
@@ -182,6 +183,7 @@ class ConvINAct(nn.Module):
                 act=self.act,
                 residual=None if residual is None else residual.reshape(b, -1),
                 bias=full_bias,
+                centered=self.norm == "in",
             )
             return out.reshape(b, l_out, self.features)
 
@@ -316,12 +318,15 @@ class ResidualBlock1d(nn.Module):
 
             if pallas_enabled() and b <= MAX_FUSED_BATCH and l * c <= 1024:
                 m1 = dense_ops.dense_conv_matrix(
-                    k1.astype(x.dtype), l, padding=1, pad_mode="reflect")
+                    k1.astype(x.dtype), l, padding=1, pad_mode="reflect",
+                    centered=True)
                 m2 = dense_ops.dense_conv_matrix(
-                    k2.astype(x.dtype), l, padding=1, pad_mode="reflect")
+                    k2.astype(x.dtype), l, padding=1, pad_mode="reflect",
+                    centered=True)
                 # the WHOLE block — conv+IN+relu+conv+IN+skip — in one kernel
                 out = fused_res_block(x.reshape(b, l * c), m1, m2,
-                                      l_out=l, c_out=self.features)
+                                      l_out=l, c_out=self.features,
+                                      centered=True)
                 return out.reshape(b, l, self.features)
             # composed path, identical math
             y = dense_ops.conv1d_dense(x, k1, None, padding=1, pad_mode="reflect")

@@ -112,13 +112,15 @@ def conv2d(
     if pad_mode == "reflect" and any(p != (0, 0) for p in pads):
         x = reflect_pad2d(x, pads)
         pads = ((0, 0), (0, 0))
+    # no preferred_element_type=f32: the TPU MXU already accumulates bf16
+    # operands in f32 internally, and a widened output dtype breaks the
+    # conv transpose under bf16 (f32 cotangent vs bf16 operands)
     y = lax.conv_general_dilated(
         x,
         kernel.astype(x.dtype),
         window_strides=strides,
         padding=pads,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     ).astype(x.dtype)
     if bias is not None:
         y = y + bias.astype(y.dtype)

@@ -248,12 +248,14 @@ def _make_resblock_layer(l_out: int, c_out: int):
     return layer
 
 
-def fused_res_block(x, m1, m2, *, l_out: int, c_out: int):
+def fused_res_block(x, m1, m2, *, l_out: int, c_out: int, centered: bool = False):
     """Whole InstanceNorm residual block — conv+IN+relu+conv+IN+skip — as
     ONE Pallas kernel forward and one backward (x, m* flat/centered as in
-    fused_dense_layer)."""
-    m1c = center_matrix(m1, l_out, c_out)
-    m2c = center_matrix(m2, l_out, c_out)
+    fused_dense_layer). centered=True means m1/m2 already carry the IN
+    mean-centering (dense_conv_matrix(centered=True) folds it into the
+    constant selector for free)."""
+    m1c = m1 if centered else center_matrix(m1, l_out, c_out)
+    m2c = m2 if centered else center_matrix(m2, l_out, c_out)
     return _make_resblock_layer(l_out, c_out)(x, m1c, m2c)
 
 
@@ -396,11 +398,12 @@ def _make_adain_block_layer(l_out: int, c_out: int):
     return layer
 
 
-def fused_adain_res_block(x, m1, m2, g1, b1, g2, b2, *, l_out: int, c_out: int):
+def fused_adain_res_block(x, m1, m2, g1, b1, g2, b2, *, l_out: int, c_out: int,
+                          centered: bool = False):
     """Whole AdaIN residual block — conv+AdaIN+relu+conv+AdaIN+skip — as ONE
     Pallas kernel forward and one backward. g*/b*: per-sample (B, N) tiles."""
-    m1c = center_matrix(m1, l_out, c_out)
-    m2c = center_matrix(m2, l_out, c_out)
+    m1c = m1 if centered else center_matrix(m1, l_out, c_out)
+    m2c = m2 if centered else center_matrix(m2, l_out, c_out)
     return _make_adain_block_layer(l_out, c_out)(x, m1c, m2c, g1, b1, g2, b2)
 
 
@@ -836,16 +839,18 @@ def fused_dense_layer(
     act: str = "relu",
     residual: jnp.ndarray | None = None,
     bias: jnp.ndarray | None = None,
+    centered: bool = False,
 ) -> jnp.ndarray:
     """x (B, K) @ m (K, L_out*C_out) -> (B, L_out*C_out), fused norm + act.
 
     residual: (B, L_out*C_out) added after the norm (act must be 'none').
     bias: (L_out*C_out,) pre-activation row vector (norm='none' only).
+    centered: m already carries the IN mean-centering.
     """
     assert m.shape[1] == l_out * c_out
     if norm == "in":
         assert bias is None, "bias before InstanceNorm is a no-op"
-        mc = center_matrix(m, l_out, c_out)  # differentiable fold, outside
+        mc = m if centered else center_matrix(m, l_out, c_out)
         layer = _make_in_layer(l_out, c_out, act, residual is not None)
         if residual is not None:
             assert act == "none"

@@ -136,3 +136,27 @@ def test_sep_contracts():
     # conditioning on different labels changes the estimate
     err1 = mnet.apply(vm, x, jnp.ones((B, 1)))
     assert not np.allclose(np.asarray(err), np.asarray(err1))
+
+
+def test_conv2_bf16_train_grads():
+    """The 2-D path must be trainable end-to-end in bfloat16 (the conv's
+    widened preferred_element_type used to break its transpose)."""
+    import jax
+    import jax.numpy as jnp
+
+    from iinsvae_tpu.models import IInsVAE
+
+    m = IInsVAE(cir_len=157, num_classes=5, conv_type=2, expand=True, style_dim=16)
+    x = jnp.ones((2, 157), jnp.bfloat16)
+    v = m.init({"params": jax.random.PRNGKey(0)}, x)
+
+    def loss(p):
+        out, _ = m.apply(
+            {"params": p, "batch_stats": {}}, x, train=True,
+            sample_key=jax.random.PRNGKey(1), mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+        return out["recon"].astype(jnp.float32).sum() + out["kl"]
+
+    g = jax.grad(loss)(v["params"])
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
