@@ -27,11 +27,31 @@ from iinsvae_tpu.models.layers import (
     Conv2d,
     ConvINAct,
     ResidualBlock1d,
-    ResidualBlock2d,
     ResidualBlock2dNoExpand,
+    conv_normal_init,
+    _bias_uniform_init,
 )
 from iinsvae_tpu.ops.pooling import adaptive_avg_pool1d, adaptive_avg_pool2d
 from iinsvae_tpu.ops.norms import instance_norm
+from iinsvae_tpu.ops import colgroups as cg
+from iinsvae_tpu.ops import conv as conv_ops
+
+
+# Lowering for the expanded 2-D path (conv_type=2): 'grouped' carries only
+# the distinct columns of the column-constant expanded image (exact — see
+# ops/colgroups.py); 'dense' materializes the (B, H, W, C) fields and is the
+# parity oracle.
+_CONV2D_EXPAND_IMPL = "grouped"
+
+
+def set_conv2d_expand_impl(impl: str) -> None:
+    global _CONV2D_EXPAND_IMPL
+    assert impl in ("grouped", "dense")
+    _CONV2D_EXPAND_IMPL = impl
+
+
+def get_conv2d_expand_impl() -> str:
+    return _CONV2D_EXPAND_IMPL
 
 
 class RangeEncoder1d(nn.Module):
@@ -58,7 +78,12 @@ class RangeEncoder1d(nn.Module):
 
 
 class RangeEncoder2d(nn.Module):
-    """2-D analogue on the square-expanded CIR (reference models.py:179-215)."""
+    """2-D analogue on the square-expanded CIR (reference models.py:179-215).
+
+    Accepts either the dense (B, H, W, 1) image (oracle lowering) or a
+    ``colgroups.GroupedField`` carrying only the distinct columns of the
+    column-constant expansion — the two lowerings share one explicit
+    parameter set and are parity-tested (tests/test_colgroups.py)."""
 
     dim: int = 4
     n_residual: int = 3
@@ -66,16 +91,59 @@ class RangeEncoder2d(nn.Module):
     out_dim: int = 2
 
     @nn.compact
-    def __call__(self, x):  # (B, H, W, 1)
-        x = adaptive_avg_pool2d(x, 128)
-        x = nn.relu(instance_norm(Conv2d(self.dim, 7, padding=3, pad_mode="reflect")(x)))
-        dim = self.dim
+    def __call__(self, x):  # (B, H, W, 1) | GroupedField
+        dims, d = [], self.dim
         for _ in range(self.n_downsample):
-            x = nn.relu(instance_norm(Conv2d(dim * 2, 4, stride=2, padding=1)(x)))
-            dim *= 2
-        for _ in range(self.n_residual):
-            x = ResidualBlock2d(dim, norm="in")(x)
-        x = nn.relu(Conv2d(self.out_dim, 1)(x))
+            dims.append((d, d * 2))
+            d *= 2
+        k0 = self.param("in_kernel", conv_normal_init(), (7, 7, 1, self.dim))
+        b0 = self.param("in_bias", _bias_uniform_init(49), (self.dim,))
+        down = [
+            (
+                self.param(f"down{j}_kernel", conv_normal_init(), (4, 4, di, do)),
+                self.param(f"down{j}_bias", _bias_uniform_init(di * 16), (do,)),
+            )
+            for j, (di, do) in enumerate(dims)
+        ]
+        res = [
+            (
+                self.param(f"res{i}_kernel1", conv_normal_init(), (3, 3, d, d)),
+                self.param(f"res{i}_bias1", _bias_uniform_init(d * 9), (d,)),
+                self.param(f"res{i}_kernel2", conv_normal_init(), (3, 3, d, d)),
+                self.param(f"res{i}_bias2", _bias_uniform_init(d * 9), (d,)),
+            )
+            for i in range(self.n_residual)
+        ]
+        ko = self.param("out_kernel", conv_normal_init(), (1, 1, d, self.out_dim))
+        bo = self.param("out_bias", _bias_uniform_init(d), (self.out_dim,))
+
+        if isinstance(x, cg.GroupedField):
+            x = cg.pool_constant_field(x, 128)
+            x = cg.relu_grouped(cg.instance_norm_grouped(
+                cg.conv2d_grouped(x, k0, b0, padding=3, pad_mode="reflect")))
+            for kd, bd in down:
+                x = cg.relu_grouped(cg.instance_norm_grouped(
+                    cg.conv2d_grouped(x, kd, bd, stride=2, padding=1)))
+            for k1, b1, k2, b2 in res:
+                y = cg.conv2d_grouped(x, k1, b1, padding=1, pad_mode="reflect")
+                y = cg.relu_grouped(cg.instance_norm_grouped(y))
+                y = cg.conv2d_grouped(y, k2, b2, padding=1, pad_mode="reflect")
+                x = cg.add_grouped(x, cg.instance_norm_grouped(y))
+            x = cg.relu_grouped(cg.conv2d_grouped(x, ko, bo))
+            return x.expand()  # (B, 8, 8, out_dim)
+
+        x = adaptive_avg_pool2d(x, 128)
+        x = nn.relu(instance_norm(
+            conv_ops.conv2d(x, k0, b0, padding=3, pad_mode="reflect")))
+        for kd, bd in down:
+            x = nn.relu(instance_norm(
+                conv_ops.conv2d(x, kd, bd, stride=2, padding=1)))
+        for k1, b1, k2, b2 in res:
+            y = conv_ops.conv2d(x, k1, b1, padding=1, pad_mode="reflect")
+            y = nn.relu(instance_norm(y))
+            y = conv_ops.conv2d(y, k2, b2, padding=1, pad_mode="reflect")
+            x = x + instance_norm(y)
+        x = nn.relu(conv_ops.conv2d(x, ko, bo))
         return x  # (B, 8, 8, out_dim)
 
 
@@ -147,22 +215,52 @@ class EnvEncoder1d(nn.Module):
 
 
 class EnvEncoder2d(nn.Module):
+    """Dense-or-grouped lowering; see RangeEncoder2d. This is the FLOP
+    monster of the expanded path (its 7x7x16 conv at 128^2 and the two wide
+    stride-2 stages are ~80 GFLOP/step at batch 500 when dense); grouped, it
+    computes 1-3 distinct columns instead of 128/64/32."""
+
     dim: int = 16
     n_downsample: int = 2
     style_dim: int = 8
 
     @nn.compact
-    def __call__(self, x):  # (B, H, W, 1)
-        x = adaptive_avg_pool2d(x, 128)
-        x = nn.relu(Conv2d(self.dim, 7, padding=3, pad_mode="reflect")(x))
-        dim = self.dim
+    def __call__(self, x):  # (B, H, W, 1) | GroupedField
+        dims, d = [], self.dim
         for _ in range(2):
-            x = nn.relu(Conv2d(dim * 2, 4, stride=2, padding=1)(x))
-            dim *= 2
+            dims.append((d, d * 2, 2))
+            d *= 2
         for _ in range(self.n_downsample - 2):
-            x = nn.relu(Conv2d(dim, 4, stride=2, padding=1)(x))
+            dims.append((d, d, 2))
+        k0 = self.param("in_kernel", conv_normal_init(), (7, 7, 1, self.dim))
+        b0 = self.param("in_bias", _bias_uniform_init(49), (self.dim,))
+        down = [
+            (
+                self.param(f"down{j}_kernel", conv_normal_init(), (4, 4, di, do)),
+                self.param(f"down{j}_bias", _bias_uniform_init(di * 16), (do,)),
+            )
+            for j, (di, do, _) in enumerate(dims)
+        ]
+        ko = self.param("out_kernel", conv_normal_init(), (1, 1, d, self.style_dim))
+        bo = self.param("out_bias", _bias_uniform_init(d), (self.style_dim,))
+
+        if isinstance(x, cg.GroupedField):
+            x = cg.pool_constant_field(x, 128)
+            x = cg.relu_grouped(
+                cg.conv2d_grouped(x, k0, b0, padding=3, pad_mode="reflect"))
+            for kd, bd in down:
+                x = cg.relu_grouped(
+                    cg.conv2d_grouped(x, kd, bd, stride=2, padding=1))
+            pooled = cg.global_mean_grouped(x)  # (B, C)
+            cat = jnp.dot(pooled, ko[0, 0].astype(pooled.dtype))
+            return cat + bo.astype(cat.dtype)
+
+        x = adaptive_avg_pool2d(x, 128)
+        x = nn.relu(conv_ops.conv2d(x, k0, b0, padding=3, pad_mode="reflect"))
+        for kd, bd in down:
+            x = nn.relu(conv_ops.conv2d(x, kd, bd, stride=2, padding=1))
         x = jnp.mean(x, axis=(-3, -2), keepdims=True)  # AdaptiveAvgPool2d(1)
-        cat = Conv2d(self.style_dim, 1)(x)  # (B, 1, 1, style_dim)
+        cat = conv_ops.conv2d(x, ko, bo)  # (B, 1, 1, style_dim)
         return cat.reshape(cat.shape[0], self.style_dim)
 
 
@@ -219,8 +317,14 @@ class Encoder(nn.Module):
             )(xin)
         elif self.conv_type == 2 and self.expand:
             # (B, L) -> (B, L, L, 1): row i of the image is x broadcast
-            # along columns (reference models.py:55).
-            xin = jnp.broadcast_to(x[:, :, None], (b, l, l))[..., None]
+            # along columns (reference models.py:55). Under the 'grouped'
+            # lowering the square image is never materialized: the expansion
+            # is column-constant, so the encoders carry only its distinct
+            # columns (ops/colgroups.py) — exact, parity-tested.
+            if _CONV2D_EXPAND_IMPL == "grouped":
+                xin = cg.constant_field(x.reshape(b, l, 1), l)
+            else:
+                xin = jnp.broadcast_to(x[:, :, None], (b, l, l))[..., None]
             range_code = RangeEncoder2d(
                 self.dim, self.n_residual, self.n_downsample, self.out_dim,
                 name="range_encoder",

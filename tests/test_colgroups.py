@@ -1,0 +1,169 @@
+"""Parity of the column-group compressed (grouped) lowering of the expanded
+2-D path (ops/colgroups.py) against the dense oracle.
+
+The expanded image (reference models.py:55) is column-constant; the grouped
+lowering computes only distinct columns. These tests assert the compressed
+forward/backward matches the dense 2-D lowering to fp-reassociation
+tolerance on every level: single ops, whole encoder modules, the Encoder
+facade, and gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from iinsvae_tpu.ops import colgroups as cg
+from iinsvae_tpu.ops import conv as conv_ops
+from iinsvae_tpu.ops.norms import instance_norm
+from iinsvae_tpu.models.encoders import (
+    Encoder,
+    RangeEncoder2d,
+    EnvEncoder2d,
+    set_conv2d_expand_impl,
+)
+
+
+def _rand_grouped(key, b, h, col2g, c):
+    g = max(col2g) + 1
+    data = jax.random.normal(key, (b, h, g, c))
+    return cg.GroupedField(data, tuple(col2g))
+
+
+def test_structure_stride2_zero_pad():
+    # constant 128-wide field through a 4-wide stride-2 zero-pad conv:
+    # left edge / interior / right edge
+    col2g, sigs = cg.conv_group_structure((0,) * 128, 4, 2, 1, "zero")
+    assert len(sigs) == 3
+    assert col2g[0] == 0 and col2g[-1] == 2
+    assert all(g == 1 for g in col2g[1:-1])
+    assert sigs[0][0] == cg.PAD and sigs[2][-1] == cg.PAD
+
+
+def test_structure_reflect_preserves_constant():
+    col2g, sigs = cg.conv_group_structure((0,) * 128, 7, 1, 3, "reflect")
+    assert len(sigs) == 1 and set(col2g) == {0}
+
+
+@pytest.mark.parametrize("kw,stride,pad,mode", [
+    (7, 1, 3, "reflect"),
+    (4, 2, 1, "zero"),
+    (3, 1, 1, "reflect"),
+    (1, 1, 0, "zero"),
+])
+def test_conv2d_grouped_matches_dense(kw, stride, pad, mode):
+    key = jax.random.PRNGKey(0)
+    col2g = (0,) + (1,) * 14 + (2,)  # a 3-group 16-wide field
+    xg = _rand_grouped(key, 3, 16, col2g, 5)
+    kernel = jax.random.normal(jax.random.PRNGKey(1), (kw, kw, 5, 6))
+    bias = jax.random.normal(jax.random.PRNGKey(2), (6,))
+    yg = cg.conv2d_grouped(xg, kernel, bias, stride=stride, padding=pad,
+                           pad_mode=mode)
+    dense = conv_ops.conv2d(xg.expand(), kernel, bias, stride=stride,
+                            padding=pad, pad_mode=mode)
+    np.testing.assert_allclose(yg.expand(), dense, rtol=2e-5, atol=2e-5)
+
+
+def test_instance_norm_grouped_matches_dense():
+    xg = _rand_grouped(jax.random.PRNGKey(0), 2, 8, (0, 1, 1, 1, 1, 1, 1, 2), 4)
+    got = cg.instance_norm_grouped(xg).expand()
+    want = instance_norm(xg.expand())
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_global_mean_grouped_matches_dense():
+    xg = _rand_grouped(jax.random.PRNGKey(0), 2, 8, (0, 1, 1, 1, 2, 2, 2, 2), 4)
+    got = cg.global_mean_grouped(xg)
+    want = jnp.mean(xg.expand(), axis=(1, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_add_grouped_refines():
+    a = _rand_grouped(jax.random.PRNGKey(0), 2, 4, (0, 1, 1, 0), 3)
+    b = _rand_grouped(jax.random.PRNGKey(1), 2, 4, (0, 0, 1, 1), 3)
+    got = cg.add_grouped(a, b)
+    np.testing.assert_allclose(got.expand(), a.expand() + b.expand(),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_pool_constant_field_matches_dense():
+    x1d = jax.random.normal(jax.random.PRNGKey(0), (2, 157, 1))
+    xg = cg.constant_field(x1d, 157)
+    got = cg.pool_constant_field(xg, 128).expand()
+    from iinsvae_tpu.ops.pooling import adaptive_avg_pool2d
+    want = adaptive_avg_pool2d(xg.expand(), 128)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def _expand_image(x):
+    b, l = x.shape
+    return jnp.broadcast_to(x[:, :, None], (b, l, l))[..., None]
+
+
+def test_range_encoder2d_grouped_vs_dense():
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 157))
+    enc = RangeEncoder2d()
+    variables = enc.init(jax.random.PRNGKey(1), _expand_image(x))
+    dense = enc.apply(variables, _expand_image(x))
+    grouped = enc.apply(variables, cg.constant_field(x[..., None], 157))
+    assert dense.shape == (3, 8, 8, 2)
+    np.testing.assert_allclose(grouped, dense, rtol=5e-4, atol=5e-5)
+
+
+def test_env_encoder2d_grouped_vs_dense():
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 157))
+    enc = EnvEncoder2d(dim=16, style_dim=16)
+    variables = enc.init(jax.random.PRNGKey(1), _expand_image(x))
+    dense = enc.apply(variables, _expand_image(x))
+    grouped = enc.apply(variables, cg.constant_field(x[..., None], 157))
+    assert dense.shape == (3, 16)
+    np.testing.assert_allclose(grouped, dense, rtol=5e-4, atol=5e-5)
+
+
+def test_encoder_facade_grouped_vs_dense():
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 157))
+    enc = Encoder(conv_type=2, expand=True, style_dim=16)
+    try:
+        set_conv2d_expand_impl("dense")
+        variables = enc.init({"params": jax.random.PRNGKey(1)}, x)
+        rc_d, cat_d, _, kl_d = enc.apply(variables, x)
+        set_conv2d_expand_impl("grouped")
+        rc_g, cat_g, _, kl_g = enc.apply(variables, x)
+    finally:
+        set_conv2d_expand_impl("grouped")
+    np.testing.assert_allclose(rc_g, rc_d, rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(cat_g, cat_d, rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(kl_g, kl_d, rtol=5e-4, atol=5e-5)
+
+
+def test_encoder_facade_grouped_grad_matches_dense():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 157))
+    enc = Encoder(conv_type=2, expand=True, style_dim=16)
+    try:
+        set_conv2d_expand_impl("dense")
+        variables = enc.init({"params": jax.random.PRNGKey(1)}, x)
+
+        def loss(params):
+            rc, cat, _, kl = enc.apply({"params": params}, x)
+            return jnp.sum(rc**2) + jnp.sum(cat**2) + kl
+
+        g_dense = jax.grad(loss)(variables["params"])
+        set_conv2d_expand_impl("grouped")
+        g_grouped = jax.grad(loss)(variables["params"])
+    finally:
+        set_conv2d_expand_impl("grouped")
+    flat_d = jax.tree_util.tree_leaves_with_path(g_dense)
+    flat_g = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_leaves_with_path(g_grouped)}
+    for k, vd in flat_d:
+        ks = jax.tree_util.keystr(k)
+        vg = flat_g[ks]
+        if "range_encoder" in ks and "bias" in ks and "out_bias" not in ks:
+            # every range-encoder conv feeds an InstanceNorm, which subtracts
+            # the bias right back out — the true gradient is exactly zero and
+            # both lowerings return fp noise around it; compare absolutely
+            np.testing.assert_allclose(vg, vd, atol=2e-3, err_msg=ks)
+        else:
+            np.testing.assert_allclose(
+                vg, vd, rtol=5e-3, atol=1e-4,
+                err_msg=f"grad mismatch at {ks}")
