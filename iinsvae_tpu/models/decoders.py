@@ -17,9 +17,21 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from iinsvae_tpu.models.layers import Conv2d, MLP, ResidualBlock2d, SampleLayerNorm
+from iinsvae_tpu.models.layers import Conv2d, MLP, SampleLayerNorm
 from iinsvae_tpu.ops.pooling import adaptive_avg_pool1d, adaptive_avg_pool2d
 from iinsvae_tpu.ops.conv import upsample_nearest1d, upsample_nearest2d
+
+
+# Lowering for the expanded 2-D decoder: 'fast' (W-folded res tail, subpixel
+# phase upsample convs, column-0-only final stage) or 'dense' (the reference
+# op sequence, parity oracle). One parameter set drives both.
+_DECODER2D_IMPL = "fast"
+
+
+def set_decoder2d_impl(impl: str) -> None:
+    global _DECODER2D_IMPL
+    assert impl in ("fast", "dense")
+    _DECODER2D_IMPL = impl
 
 
 def slice_adain_params(adain_params: jnp.ndarray, n_blocks: int, features: int):
@@ -170,7 +182,20 @@ class Decoder1d(nn.Module):
 
 
 class Decoder2d(nn.Module):
-    """2-D analogue (reference models.py:474-539)."""
+    """2-D analogue (reference models.py:474-539).
+
+    Two lowerings over ONE explicit parameter set (parity-tested,
+    tests/test_decoder2d_fast.py):
+
+    * 'fast' (default): the 8x8 AdaIN residual tail runs W-folded through
+      the grouped machinery (ops/colgroups.py, identity grouping — one
+      MXU-shaped 1-D matmul per conv instead of an 8x8-spatial XLA conv);
+      each upsample stage is an exact 4-phase subpixel conv
+      (ops/subpixel.py); and the final 7x7 conv + (157,157) pool are
+      computed only for output column 0 — the only column the Decoder
+      facade keeps (reference models.py:90). Returns (B, in_dim).
+    * 'dense': the reference op sequence; returns (B, in_dim, in_dim, 1).
+    """
 
     dim: int = 4
     n_residual: int = 3
@@ -178,24 +203,93 @@ class Decoder2d(nn.Module):
     in_dim: int = 157
     out_dim: int = 2
     style_dim: int = 8
+    lowering: str = "fast"  # 'fast' | 'dense'
 
     @nn.compact
     def __call__(self, range_code, env_code):
+        from iinsvae_tpu.models.layers import conv_normal_init, _bias_uniform_init
+        from iinsvae_tpu.ops import colgroups as cg
+        from iinsvae_tpu.ops import subpixel as sp
+        from iinsvae_tpu.ops import conv as conv_ops
+        from iinsvae_tpu.ops.norms import sample_layer_norm
+        from iinsvae_tpu.ops.pooling import adaptive_avg_pool_matrix
+
         dim = self.dim * 2**self.n_upsample
         num_adain = self.n_residual * 2 * 2 * dim
         adain_params = MLP(num_adain, name="mlp")(env_code)
         per_block = slice_adain_params(adain_params, self.n_residual, dim)
 
-        x = nn.relu(Conv2d(dim, 1)(range_code))
-        for i in range(self.n_residual):
-            x = ResidualBlock2d(dim, norm="adain")(x, per_block[i])
-        for _ in range(self.n_upsample):
+        c0 = range_code.shape[-1]
+        k_in = self.param("in_kernel", conv_normal_init(), (1, 1, c0, dim))
+        b_in = self.param("in_bias", _bias_uniform_init(c0), (dim,))
+        res = [
+            (
+                self.param(f"res{i}_kernel1", conv_normal_init(), (3, 3, dim, dim)),
+                self.param(f"res{i}_bias1", _bias_uniform_init(dim * 9), (dim,)),
+                self.param(f"res{i}_kernel2", conv_normal_init(), (3, 3, dim, dim)),
+                self.param(f"res{i}_bias2", _bias_uniform_init(dim * 9), (dim,)),
+            )
+            for i in range(self.n_residual)
+        ]
+        ups, d = [], dim
+        for j in range(self.n_upsample):
+            ups.append(
+                (
+                    self.param(f"up{j}_kernel", conv_normal_init(), (5, 5, d, d // 2)),
+                    self.param(f"up{j}_bias", _bias_uniform_init(d * 25), (d // 2,)),
+                    self.param(f"up{j}_gamma", lambda k, s: jax.random.uniform(k, s), (d // 2,)),
+                    self.param(f"up{j}_beta", nn.initializers.zeros, (d // 2,)),
+                )
+            )
+            d //= 2
+        k_out = self.param("out_kernel", conv_normal_init(), (7, 7, d, 1))
+        b_out = self.param("out_bias", _bias_uniform_init(d * 49), (1,))
+
+        if self.lowering == "fast":
+            x = nn.relu(conv_ops.conv2d(range_code, k_in, b_in))
+            xg = cg.identity_field(x)
+            for i, (k1, b1, k2, b2) in enumerate(res):
+                (g1, be1), (g2, be2) = per_block[i]
+                y = cg.conv2d_grouped(xg, k1, b1, padding=1, pad_mode="reflect")
+                y = cg.relu_grouped(cg.adain_grouped(y, g1, be1))
+                y = cg.conv2d_grouped(y, k2, b2, padding=1, pad_mode="reflect")
+                xg = cg.add_grouped(xg, cg.adain_grouped(y, g2, be2))
+            x = xg.expand()
+            for k_up, b_up, gamma, beta in ups:
+                z = sp.upsample_conv5_phase(x, k_up, b_up)
+                z = sample_layer_norm(z, jnp.tile(gamma, 4), jnp.tile(beta, 4))
+                x = sp.pixel_shuffle2(nn.relu(z))
+            # final 7x7 reflect conv + (in_dim, in_dim) pool, column 0 only:
+            # W-pool output column 0 averages exactly input column 0 (window
+            # [0, ceil(W/in_dim)) = [0,1) since in_dim > W), and conv column
+            # 0 reads reflect-padded columns [3,2,1,0,1,2,3].
+            b_sz, h, w, c = x.shape
+            cols = jnp.asarray([3, 2, 1, 0, 1, 2, 3], jnp.int32)
+            xcols = jnp.take(x, cols, axis=2)  # (B, H, 7, C)
+            k1d = k_out.reshape(7, 7 * c, 1)  # (t_h, (t_w, ci), 1)
+            y = conv_ops.conv1d(
+                xcols.reshape(b_sz, h, 7 * c), k1d, b_out,
+                padding=3, pad_mode="reflect",
+            )  # (B, H, 1)
+            y = jnp.tanh(y)
+            pool = adaptive_avg_pool_matrix(h, self.in_dim, dtype=y.dtype)
+            return jnp.einsum("bhc,ho->boc", y, pool).reshape(b_sz, self.in_dim)
+
+        x = nn.relu(conv_ops.conv2d(range_code, k_in, b_in))
+        for i, (k1, b1, k2, b2) in enumerate(res):
+            (g1, be1), (g2, be2) = per_block[i]
+            from iinsvae_tpu.ops import norms as norm_ops
+
+            y = conv_ops.conv2d(x, k1, b1, padding=1, pad_mode="reflect")
+            y = nn.relu(norm_ops.adain(y, g1, be1))
+            y = conv_ops.conv2d(y, k2, b2, padding=1, pad_mode="reflect")
+            x = x + norm_ops.adain(y, g2, be2)
+        for k_up, b_up, gamma, beta in ups:
             x = upsample_nearest2d(x, 2)
-            x = Conv2d(dim // 2, 5, padding=2)(x)
-            x = SampleLayerNorm()(x)
+            x = conv_ops.conv2d(x, k_up, b_up, padding=2)
+            x = sample_layer_norm(x, gamma, beta)
             x = nn.relu(x)
-            dim //= 2
-        x = jnp.tanh(Conv2d(1, 7, padding=3, pad_mode="reflect")(x))
+        x = jnp.tanh(conv_ops.conv2d(x, k_out, b_out, padding=3, pad_mode="reflect"))
         x = adaptive_avg_pool2d(x, self.in_dim)  # (B, in_dim, in_dim, 1)
         return x
 
@@ -259,7 +353,10 @@ class Decoder(nn.Module):
             x = Decoder2d(
                 self.dim, self.n_residual, self.n_upsample, self.in_dim,
                 self.out_dim, self.style_dim, name="decoder",
+                lowering=_DECODER2D_IMPL,
             )(range_code, env_code)
+            if _DECODER2D_IMPL == "fast":
+                return x  # already the first column, (B, in_dim)
             # keep the first column, as the reference does (models.py:90)
             return x[:, :, 0, 0]
         x = Decoder2dNoExpand(

@@ -175,6 +175,25 @@ def instance_norm_grouped(xg: GroupedField, eps: float = 1e-5) -> GroupedField:
     return GroupedField(centered * inv[:, None, None, :], xg.col2g)
 
 
+def adain_grouped(
+    xg: GroupedField, gamma: jnp.ndarray, beta: jnp.ndarray, eps: float = 1e-5
+) -> GroupedField:
+    """AdaIN (ops/norms.py::adain) on a grouped field: weighted IN stats,
+    then the per-sample (B, C) affine broadcast over (H, G)."""
+    y = instance_norm_grouped(xg, eps)
+    g = gamma[:, None, None, :].astype(y.data.dtype)
+    b = beta[:, None, None, :].astype(y.data.dtype)
+    return GroupedField(y.data * g + b, y.col2g)
+
+
+def identity_field(x: jnp.ndarray) -> GroupedField:
+    """Dense (B, H, W, C) -> grouped with every column its own group: the
+    degenerate case where the grouped conv becomes a W-folded 1-D conv with
+    W*C channels (used by the decoder's 8x8 AdaIN residual tail, where the
+    spatial extent is too small for XLA's conv to tile the MXU)."""
+    return GroupedField(x, tuple(range(x.shape[2])))
+
+
 def global_mean_grouped(xg: GroupedField) -> jnp.ndarray:
     """mean over (H, W) -> (B, C) (AdaptiveAvgPool2d(1) on the dense field)."""
     b, h, g, c = xg.data.shape

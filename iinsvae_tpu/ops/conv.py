@@ -109,9 +109,27 @@ def conv2d(
         pads = ((padding, padding), (padding, padding))
     else:
         pads = tuple(tuple(p) for p in padding)
-    if pad_mode == "reflect" and any(p != (0, 0) for p in pads):
-        x = reflect_pad2d(x, pads)
-        pads = ((0, 0), (0, 0))
+    kh, kw = kernel.shape[:2]
+    if (
+        kw == 1
+        and x.shape[-2] == 1
+        and strides[1] == 1
+        and pads[1] == (0, 0)
+        and pads[0][0] == pads[0][1]
+    ):
+        # column-image (k,1) conv (the conv_type=3 NoExpand variants,
+        # reference models.py:218-255): exactly a 1-D conv — route through
+        # the 1-D lowering instead of a W=1 XLA conv.
+        b = x.shape[0]
+        y = conv1d(
+            x.reshape(b, x.shape[1], x.shape[-1]),
+            kernel.reshape(kh, kernel.shape[2], kernel.shape[3]),
+            bias,
+            stride=strides[0],
+            padding=pads[0][0],
+            pad_mode=pad_mode,
+        )
+        return y[:, :, None, :]
     # no preferred_element_type=f32: the TPU MXU already accumulates bf16
     # operands in f32 internally, and a widened output dtype breaks the
     # conv transpose under bf16 (f32 cotangent vs bf16 operands)
