@@ -108,6 +108,22 @@ def main():
     t_dec = timed(dec_fb, dvars["params"], rc, ec)
     print(f"decoder fwd+bwd:       {t_dec*1e3:8.2f} ms")
 
+    # --- decoder with one residual block: res-tail cost by extrapolation ---
+    dec1 = Decoder(conv_type=2, expand=True, style_dim=16, n_residual=1)
+    d1vars = dec1.init({"params": key}, rc[:2], ec[:2])
+
+    @jax.jit
+    def dec1_fb(params, rc, ec):
+        def loss(p):
+            out = dec1.apply({"params": p}, rc, ec)
+            return jnp.sum(out.astype(jnp.float32))
+        return jax.grad(loss)(params)["decoder"]
+
+    t_dec1 = timed(dec1_fb, d1vars["params"], rc, ec)
+    per_res = (t_dec - t_dec1) / 2
+    print(f"decoder n_residual=1:  {t_dec1*1e3:8.2f} ms  "
+          f"(per res block ~{per_res*1e3:.2f} ms, up+final ~{(t_dec1-per_res)*1e3:.2f} ms)")
+
 
 if __name__ == "__main__":
     main()

@@ -130,6 +130,9 @@ def conv2d(
             pad_mode=pad_mode,
         )
         return y[:, :, None, :]
+    if pad_mode == "reflect" and any(p != (0, 0) for p in pads):
+        x = reflect_pad2d(x, pads)
+        pads = ((0, 0), (0, 0))
     # no preferred_element_type=f32: the TPU MXU already accumulates bf16
     # operands in f32 internally, and a widened output dtype breaks the
     # conv transpose under bf16 (f32 cotangent vs bf16 operands)

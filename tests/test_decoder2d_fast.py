@@ -68,8 +68,9 @@ def test_decoder_facade_fast_vs_dense():
 
 
 def test_decoder_facade_fast_grad_matches_dense():
+    # small config — see test_colgroups.py's grad test note
     rc, ec = _decoder_io(jax.random.PRNGKey(3))
-    dec = Decoder(conv_type=2, expand=True)
+    dec = Decoder(conv_type=2, expand=True, dim=2, n_residual=1)
     try:
         set_decoder2d_impl("dense")
         variables = dec.init(jax.random.PRNGKey(1), rc, ec)
