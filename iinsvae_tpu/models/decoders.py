@@ -140,25 +140,23 @@ class Decoder1d(nn.Module):
                     jnp.tile(g2, (1, l0)), jnp.tile(b2, (1, l0)),
                     l_out=l0, c_out=dim, centered=True,
                 )
+            # the whole upsample tail — 4x (upsample+conv+SLN+relu) and the
+            # final conv+tanh+pool — is ONE kernel each way (fused_sln_chain)
             l = l0
+            ms, gammas, betas = [], [], []
             for j in range(self.n_upsample):
-                d_in, d_out = up_dims[j]
-                m_up = dense_ops.dense_upconv_matrix(up_kernels[j], l, padding=2)
+                ms.append(dense_ops.dense_upconv_matrix(up_kernels[j], l, padding=2))
                 l *= 2
-                x2 = pf.fused_sln_layer(
-                    x2, m_up,
-                    jnp.tile(up_gammas[j], l).reshape(1, -1),
-                    jnp.tile(up_betas[j], l).reshape(1, -1),
-                    n=l * d_out,
-                )
+                gammas.append(jnp.tile(up_gammas[j], l).reshape(1, -1))
+                betas.append(jnp.tile(up_betas[j], l).reshape(1, -1))
             m_out = dense_ops.dense_conv_matrix(
                 out_kernel, l, padding=3, pad_mode="reflect"
             )
             pool = adaptive_avg_pool_matrix(l, self.in_dim)
-            out = pf.fused_tanh_pool_layer(
-                x2, m_out, jnp.tile(out_bias, l).reshape(1, -1), pool
+            return pf.fused_sln_chain(
+                x2, tuple(ms), tuple(gammas), tuple(betas),
+                m_out, jnp.tile(out_bias, l).reshape(1, -1), pool,
             )
-            return out
 
         # ---- composed reference path (identical math) ----
         x = range_code

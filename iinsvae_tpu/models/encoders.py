@@ -55,7 +55,10 @@ def get_conv2d_expand_impl() -> str:
 
 
 class RangeEncoder1d(nn.Module):
-    """Every stage is one fused Pallas kernel (ConvINAct) on TPU."""
+    """Conv+IN+relu stages run PAIRED on TPU — two stages per Pallas kernel
+    (fused_in_pair), then whole-block residual kernels: 5 conv stages + 3 res
+    blocks + head = 2 + 1 + 3 + 1 launches forward (the step is launch-bound;
+    BASELINE.md round-2 log)."""
 
     dim: int = 4
     n_residual: int = 3
@@ -64,13 +67,61 @@ class RangeEncoder1d(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # (B, L, 1)
+        from iinsvae_tpu.ops import dense_conv as dense_ops
+        from iinsvae_tpu.ops.pallas import fused as pf
+        from iinsvae_tpu.models.layers import conv_normal_init, _bias_uniform_init
+        from iinsvae_tpu.ops import norms as norm_ops
+
         x = adaptive_avg_pool1d(x, 128)
-        x = ConvINAct(self.dim, 7, padding=3, pad_mode="reflect",
-                      norm="in", act="relu")(x)
-        dim = self.dim
-        for _ in range(self.n_downsample):
-            x = ConvINAct(dim * 2, 4, stride=2, padding=1, norm="in", act="relu")(x)
+        b, l_in, _ = x.shape
+
+        # stage list: (kernel, stride, padding, pad_mode, l_out, c_out)
+        stages = []
+        k0 = self.param("in_kernel", conv_normal_init(), (7, 1, self.dim))
+        stages.append((k0, 1, 3, "reflect", l_in, self.dim))
+        dim, l = self.dim, l_in
+        for j in range(self.n_downsample):
+            kd = self.param(f"down{j}_kernel", conv_normal_init(), (4, dim, dim * 2))
+            l //= 2
             dim *= 2
+            stages.append((kd, 2, 1, "zero", l, dim))
+
+        use_fused = pf.pallas_enabled() and b <= pf.MAX_FUSED_BATCH
+        if use_fused:
+            x2 = x.reshape(b, l_in)
+            i = 0
+            cur_l, cur_c = l_in, 1
+            while i < len(stages):
+                if i + 1 < len(stages):
+                    (ka, sa, pa, ma, la, ca) = stages[i]
+                    (kb, sb, pb, mb, lb, cb) = stages[i + 1]
+                    m1 = dense_ops.dense_conv_matrix(
+                        ka.astype(x.dtype), cur_l, stride=sa, padding=pa,
+                        pad_mode=ma, centered=True)
+                    m2 = dense_ops.dense_conv_matrix(
+                        kb.astype(x.dtype), la, stride=sb, padding=pb,
+                        pad_mode=mb, centered=True)
+                    x2 = pf.fused_in_pair(
+                        x2, m1, m2, l1=la, c1=ca, l2=lb, c2=cb, centered=True)
+                    cur_l, cur_c = lb, cb
+                    i += 2
+                else:
+                    (ka, sa, pa, ma, la, ca) = stages[i]
+                    m1 = dense_ops.dense_conv_matrix(
+                        ka.astype(x.dtype), cur_l, stride=sa, padding=pa,
+                        pad_mode=ma, centered=True)
+                    x2 = pf.fused_dense_layer(
+                        x2, m1, l_out=la, c_out=ca, norm="in", act="relu",
+                        centered=True)
+                    cur_l, cur_c = la, ca
+                    i += 1
+            x = x2.reshape(b, cur_l, cur_c)
+        else:
+            for (k, s, p, m, _, _) in stages:
+                x = dense_ops.conv1d_dense(x, k, None, stride=s, padding=p,
+                                           pad_mode=m)
+                x = nn.relu(norm_ops.instance_norm(x))
+
         for _ in range(self.n_residual):
             x = ResidualBlock1d(dim, norm="in")(x)
         x = ConvINAct(self.out_dim, 1, norm="none", act="relu")(x)

@@ -259,6 +259,111 @@ def fused_res_block(x, m1, m2, *, l_out: int, c_out: int, centered: bool = False
     return _make_resblock_layer(l_out, c_out)(x, m1c, m2c)
 
 
+# --------------------- stage-pair kernel (IN+relu twice) ---------------------
+#
+# The range encoder's five Conv+IN+relu stages ran as five fused kernels;
+# chaining two stages per kernel (conv+IN+relu+conv+IN+relu) halves the
+# launch count and skips the HBM round trip of the mid-pair activation —
+# the 1-D step is launch-bound, not FLOP-bound (BASELINE.md round-2 log).
+
+
+def _fwd_in_pair_kernel(refs):
+    x_ref, m1_ref, m2_ref, p1_ref, p2_ref, out_ref, d1_ref, d2_ref = refs
+    x = _ld(x_ref)
+    d1 = jnp.dot(x, _ld(m1_ref), preferred_element_type=jnp.float32)
+    r1 = jax.lax.rsqrt(jnp.dot(d1 * d1, _ld(p1_ref), preferred_element_type=jnp.float32) + _EPS)
+    y1 = jnp.maximum(d1 * r1, 0.0)
+    d2 = jnp.dot(y1, _ld(m2_ref), preferred_element_type=jnp.float32)
+    r2 = jax.lax.rsqrt(jnp.dot(d2 * d2, _ld(p2_ref), preferred_element_type=jnp.float32) + _EPS)
+    out_ref[:] = jnp.maximum(d2 * r2, 0.0).astype(out_ref.dtype)
+    d1_ref[:] = d1.astype(d1_ref.dtype)
+    d2_ref[:] = d2.astype(d2_ref.dtype)
+
+
+def _bwd_in_pair_kernel(refs):
+    g_ref, x_ref, d1_ref, d2_ref, m1_ref, m2_ref, p1_ref, p2_ref, \
+        dx_ref, dm1_ref, dm2_ref = refs
+    g = _ld(g_ref)
+    x = _ld(x_ref)
+    d1 = _ld(d1_ref)
+    d2 = _ld(d2_ref)
+    p1 = _ld(p1_ref)
+    p2 = _ld(p2_ref)
+    r2 = jax.lax.rsqrt(jnp.dot(d2 * d2, p2, preferred_element_type=jnp.float32) + _EPS)
+    gyh2 = jnp.where(d2 > 0, g, 0.0)
+    a2 = gyh2 * d2 * (r2 * r2 * r2)
+    gd2 = r2 * gyh2 - d2 * jnp.dot(a2, p2, preferred_element_type=jnp.float32)
+    r1 = jax.lax.rsqrt(jnp.dot(d1 * d1, p1, preferred_element_type=jnp.float32) + _EPS)
+    y1 = jnp.maximum(d1 * r1, 0.0)
+    dm2_ref[:] = jnp.dot(y1.T, gd2, preferred_element_type=jnp.float32).astype(dm2_ref.dtype)
+    gy1 = jnp.dot(gd2, _ld(m2_ref).T, preferred_element_type=jnp.float32)
+    gyh1 = jnp.where(d1 > 0, gy1, 0.0)
+    a1 = gyh1 * d1 * (r1 * r1 * r1)
+    gd1 = r1 * gyh1 - d1 * jnp.dot(a1, p1, preferred_element_type=jnp.float32)
+    dx_ref[:] = jnp.dot(gd1, _ld(m1_ref).T, preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+    dm1_ref[:] = jnp.dot(x.T, gd1, preferred_element_type=jnp.float32).astype(dm1_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_in_pair_layer(l1: int, c1: int, l2: int, c2: int):
+    n1, n2 = l1 * c1, l2 * c2
+
+    def fwd_call(x, m1, m2):
+        b = x.shape[0]
+        p1 = jnp.asarray(_pmu_np(l1, c1))
+        p2 = jnp.asarray(_pmu_np(l2, c2))
+        return pl.pallas_call(
+            lambda *refs: _fwd_in_pair_kernel(refs),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, n2), x.dtype),
+                jax.ShapeDtypeStruct((b, n1), x.dtype),
+                jax.ShapeDtypeStruct((b, n2), x.dtype),
+            ),
+            in_specs=[_vmem()] * 5,
+            out_specs=tuple([_vmem()] * 3),
+            interpret=_interpret(),
+        )(x, m1, m2, p1, p2)
+
+    def bwd_call(g, x, d1, d2, m1, m2):
+        p1 = jnp.asarray(_pmu_np(l1, c1))
+        p2 = jnp.asarray(_pmu_np(l2, c2))
+        return pl.pallas_call(
+            lambda *refs: _bwd_in_pair_kernel(refs),
+            out_shape=(
+                jax.ShapeDtypeStruct(x.shape, x.dtype),
+                jax.ShapeDtypeStruct(m1.shape, m1.dtype),
+                jax.ShapeDtypeStruct(m2.shape, m2.dtype),
+            ),
+            in_specs=[_vmem()] * 8,
+            out_specs=tuple([_vmem()] * 3),
+            interpret=_interpret(),
+        )(g, x, d1, d2, m1, m2, p1, p2)
+
+    @jax.custom_vjp
+    def layer(x, m1, m2):
+        return fwd_call(x, m1, m2)[0]
+
+    def layer_fwd(x, m1, m2):
+        out, d1, d2 = fwd_call(x, m1, m2)
+        return out, (x, d1, d2, m1, m2)
+
+    def layer_bwd(saved, g):
+        x, d1, d2, m1, m2 = saved
+        return bwd_call(g, x, d1, d2, m1, m2)
+
+    layer.defvjp(layer_fwd, layer_bwd)
+    return layer
+
+
+def fused_in_pair(x, m1, m2, *, l1, c1, l2, c2, centered=False):
+    """TWO chained Conv+IN+relu stages in one kernel each way. m1: (K, l1*c1)
+    maps x to stage-1 output; m2: (l1*c1, l2*c2). centered=True: m* already
+    carry the IN mean-centering."""
+    m1c = m1 if centered else center_matrix(m1, l1, c1)
+    m2c = m2 if centered else center_matrix(m2, l2, c2)
+    return _make_in_pair_layer(l1, c1, l2, c2)(x, m1c, m2c)
+
+
 # ---------------- whole-residual-block kernel (AdaIN, per-sample affine) ----------------
 #
 # The decoder's three AdaIN residual blocks each ran as TWO fused_adain_layer
@@ -686,6 +791,176 @@ def fused_tanh_pool_layer(x, m, bias_full, pool):
     """Final decoder stage: pool(tanh(x@M + b)) in one kernel."""
     layer = _make_tanhpool_layer(m.shape[1], pool.shape[1])
     return layer(x, m, bias_full, pool)
+
+
+# ----------------- decoder upsample-chain kernel (4x SLN + tanh-pool) -----------------
+#
+# The decoder's four upsample+conv+SLN+relu stages and the final
+# conv+tanh+pool ran as five kernels; this folds the whole tail into ONE
+# kernel each way. SLN stats are per-sample scalars (no P_mu matmuls), so
+# the working set is the stage matrices plus the saved pre-norm
+# activations — ~10 MB of the ~16 MB VMEM at the flagship sizes.
+
+
+def _sln_stage_fwd(y_prev, m_ref, g_ref, b_ref, n):
+    d = jnp.dot(y_prev, _ld(m_ref), preferred_element_type=jnp.float32)
+    ss = jnp.sum(d * d, axis=1, keepdims=True) / (n - 1)
+    t = 1.0 / (jnp.sqrt(ss) + _EPS)
+    y = jnp.maximum((d * t) * _ld(g_ref) + _ld(b_ref), 0.0)
+    return d, y
+
+
+def _sln_stage_bwd(gy, d, y_prev, m_ref, g_ref, b_ref, n):
+    """Returns (gy_prev, dm, dgf, dbf) for one SLN stage; recomputes t."""
+    ss = jnp.sum(d * d, axis=1, keepdims=True) / (n - 1)
+    s = jnp.sqrt(ss)
+    t = 1.0 / (s + _EPS)
+    yh = d * t
+    gf = _ld(g_ref)
+    pre = yh * gf + _ld(b_ref)
+    gaff = jnp.where(pre > 0, gy, 0.0)
+    dgf = jnp.sum(gaff * yh, axis=0, keepdims=True)
+    dbf = jnp.sum(gaff, axis=0, keepdims=True)
+    gyh = gaff * gf
+    gt = jnp.sum(gyh * d, axis=1, keepdims=True)
+    gss = gt * (-(t * t)) / (2.0 * s)
+    gd = gyh * t + d * (2.0 * gss / (n - 1))
+    gy_prev = jnp.dot(gd, _ld(m_ref).T, preferred_element_type=jnp.float32)
+    dm = jnp.dot(y_prev.T, gd, preferred_element_type=jnp.float32)
+    return gy_prev, dm, dgf, dbf
+
+
+def _fwd_sln_chain_kernel(ns, refs):
+    k = len(ns)
+    x_ref = refs[0]
+    m_refs = refs[1 : 1 + k]
+    g_refs = refs[1 + k : 1 + 2 * k]
+    b_refs = refs[1 + 2 * k : 1 + 3 * k]
+    mo_ref, bo_ref, pool_ref = refs[1 + 3 * k : 4 + 3 * k]
+    out_ref = refs[4 + 3 * k]
+    d_refs = refs[5 + 3 * k : 5 + 4 * k]
+    th_ref = refs[5 + 4 * k]
+    y = _ld(x_ref)
+    for j in range(k):
+        d, y = _sln_stage_fwd(y, m_refs[j], g_refs[j], b_refs[j], ns[j])
+        d_refs[j][:] = d.astype(d_refs[j].dtype)
+    z = jnp.dot(y, _ld(mo_ref), preferred_element_type=jnp.float32) + _ld(bo_ref)
+    th = jnp.tanh(z)
+    th_ref[:] = th.astype(th_ref.dtype)
+    out_ref[:] = jnp.dot(th, _ld(pool_ref), preferred_element_type=jnp.float32).astype(out_ref.dtype)
+
+
+def _bwd_sln_chain_kernel(ns, refs):
+    k = len(ns)
+    g_ref = refs[0]
+    x_ref = refs[1]
+    d_refs = refs[2 : 2 + k]
+    m_refs = refs[2 + k : 2 + 2 * k]
+    g_affs = refs[2 + 2 * k : 2 + 3 * k]
+    b_affs = refs[2 + 3 * k : 2 + 4 * k]
+    mo_ref, pool_ref, th_ref = refs[2 + 4 * k : 5 + 4 * k]
+    o = 5 + 4 * k
+    dx_ref = refs[o]
+    dm_refs = refs[o + 1 : o + 1 + k]
+    dg_refs = refs[o + 1 + k : o + 1 + 2 * k]
+    db_refs = refs[o + 1 + 2 * k : o + 1 + 3 * k]
+    dmo_ref, dbo_ref = refs[o + 1 + 3 * k : o + 3 + 3 * k]
+
+    # recompute the y chain from the saved pre-norm d's
+    ys = [_ld(x_ref)]
+    for j in range(k):
+        d = _ld(d_refs[j])
+        ss = jnp.sum(d * d, axis=1, keepdims=True) / (ns[j] - 1)
+        t = 1.0 / (jnp.sqrt(ss) + _EPS)
+        ys.append(jnp.maximum((d * t) * _ld(g_affs[j]) + _ld(b_affs[j]), 0.0))
+
+    th = _ld(th_ref)
+    gth = jnp.dot(_ld(g_ref), _ld(pool_ref).T, preferred_element_type=jnp.float32)
+    gz = gth * (1.0 - th * th)
+    dmo_ref[:] = jnp.dot(ys[k].T, gz, preferred_element_type=jnp.float32).astype(dmo_ref.dtype)
+    dbo_ref[:] = jnp.sum(gz, axis=0, keepdims=True).astype(dbo_ref.dtype)
+    gy = jnp.dot(gz, _ld(mo_ref).T, preferred_element_type=jnp.float32)
+    for j in range(k - 1, -1, -1):
+        gy, dm, dgf, dbf = _sln_stage_bwd(
+            gy, _ld(d_refs[j]), ys[j], m_refs[j], g_affs[j], b_affs[j], ns[j]
+        )
+        dm_refs[j][:] = dm.astype(dm_refs[j].dtype)
+        dg_refs[j][:] = dgf.astype(dg_refs[j].dtype)
+        db_refs[j][:] = dbf.astype(db_refs[j].dtype)
+    dx_ref[:] = gy.astype(dx_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_sln_chain_layer(ns: tuple, n_mid: int, n_out: int):
+    k = len(ns)
+
+    def fwd_call(x, ms, gs, bs, mo, bo, pool):
+        b = x.shape[0]
+        kern = lambda *refs: _fwd_sln_chain_kernel(ns, refs)
+        out_shape = (
+            [jax.ShapeDtypeStruct((b, n_out), x.dtype)]
+            + [jax.ShapeDtypeStruct((b, n), x.dtype) for n in ns]
+            + [jax.ShapeDtypeStruct((b, n_mid), x.dtype)]
+        )
+        res = pl.pallas_call(
+            kern,
+            out_shape=tuple(out_shape),
+            in_specs=[_vmem()] * (4 + 3 * k),
+            out_specs=tuple([_vmem()] * (2 + k)),
+            interpret=_interpret(),
+        )(x, *ms, *gs, *bs, mo, bo, pool)
+        return res[0], res[1 : 1 + k], res[1 + k]
+
+    def bwd_call(g, x, ds, ms, gs, bs, mo, pool, th):
+        kern = lambda *refs: _bwd_sln_chain_kernel(ns, refs)
+        out_shape = (
+            [jax.ShapeDtypeStruct(x.shape, x.dtype)]
+            + [jax.ShapeDtypeStruct(m.shape, m.dtype) for m in ms]
+            + [jax.ShapeDtypeStruct(gf.shape, gf.dtype) for gf in gs]
+            + [jax.ShapeDtypeStruct(bf.shape, bf.dtype) for bf in bs]
+            + [jax.ShapeDtypeStruct(mo.shape, mo.dtype),
+               jax.ShapeDtypeStruct((1, n_mid), x.dtype)]
+        )
+        return pl.pallas_call(
+            kern,
+            out_shape=tuple(out_shape),
+            in_specs=[_vmem()] * (5 + 4 * k),
+            out_specs=tuple([_vmem()] * (3 + 3 * k)),
+            interpret=_interpret(),
+        )(g, x, *ds, *ms, *gs, *bs, mo, pool, th)
+
+    @jax.custom_vjp
+    def layer(x, ms, gs, bs, mo, bo, pool):
+        return fwd_call(x, ms, gs, bs, mo, bo, pool)[0]
+
+    def layer_fwd(x, ms, gs, bs, mo, bo, pool):
+        out, ds, th = fwd_call(x, ms, gs, bs, mo, bo, pool)
+        return out, (x, ds, ms, gs, bs, mo, pool, th)
+
+    def layer_bwd(saved, g):
+        x, ds, ms, gs, bs, mo, pool, th = saved
+        res = bwd_call(g, x, ds, ms, gs, bs, mo, pool, th)
+        dx = res[0]
+        dms = tuple(res[1 : 1 + k])
+        dgs = tuple(res[1 + k : 1 + 2 * k])
+        dbs = tuple(res[1 + 2 * k : 1 + 3 * k])
+        dmo, dbo = res[1 + 3 * k : 3 + 3 * k]
+        return dx, dms, dgs, dbs, dmo, dbo.reshape(1, -1), jnp.zeros_like(pool)
+
+    layer.defvjp(layer_fwd, layer_bwd)
+    return layer
+
+
+def fused_sln_chain(x, ms, gammas, betas, m_out, bias_out, pool):
+    """The decoder tail — k x (upsample+conv+SLN+relu) then conv+tanh+pool —
+    as ONE kernel each way. ms: per-stage (K_j, N_j) matrices (upsample
+    folded in, dense_upconv_matrix); gammas/betas: (1, N_j) channel affines
+    tiled over l; m_out: (N_k, n_mid); bias_out: (1, n_mid); pool:
+    (n_mid, n_out)."""
+    ns = tuple(m.shape[1] for m in ms)
+    msc = tuple(m - jnp.mean(m, axis=1, keepdims=True) for m in ms)
+    layer = _make_sln_chain_layer(ns, m_out.shape[1], pool.shape[1])
+    return layer(x, msc, tuple(gammas), tuple(betas), m_out, bias_out, pool)
 
 
 # ------------------------- custom-vjp wrappers -------------------------

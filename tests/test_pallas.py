@@ -213,3 +213,89 @@ def test_fused_adain_res_block_matches_composed(rng, b):
             np.asarray(ga), np.asarray(gb), rtol=1e-3, atol=3e-4,
             err_msg=f"grad argnum {i}",
         )
+
+
+def test_fused_in_pair_matches_composed(rng):
+    from iinsvae_tpu.ops.pallas.fused import fused_in_pair
+    from iinsvae_tpu.ops import dense_conv as dense_ops
+    from iinsvae_tpu.ops.norms import instance_norm
+
+    x = jnp.asarray(rng.normal(size=(6, 128, 1)), jnp.float32)
+    k1 = jnp.asarray(rng.normal(size=(7, 1, 4)) * 0.1, jnp.float32)
+    k2 = jnp.asarray(rng.normal(size=(4, 4, 8)) * 0.1, jnp.float32)
+
+    def composed(x, k1, k2):
+        y = dense_ops.conv1d_dense(x, k1, None, padding=3, pad_mode="reflect")
+        y = jax.nn.relu(instance_norm(y))
+        y = dense_ops.conv1d_dense(y, k2, None, stride=2, padding=1)
+        return jax.nn.relu(instance_norm(y))
+
+    def paired(x, k1, k2):
+        m1 = dense_ops.dense_conv_matrix(k1, 128, padding=3,
+                                         pad_mode="reflect", centered=True)
+        m2 = dense_ops.dense_conv_matrix(k2, 128, stride=2, padding=1,
+                                         centered=True)
+        out = fused_in_pair(x.reshape(6, 128), m1, m2,
+                            l1=128, c1=4, l2=64, c2=8, centered=True)
+        return out.reshape(6, 64, 8)
+
+    want = composed(x, k1, k2)
+    got = paired(x, k1, k2)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    # gradients through both stages' kernels
+    gw = jax.grad(lambda a, b: composed(x, a, b).sum(), argnums=(0, 1))(k1, k2)
+    gg = jax.grad(lambda a, b: paired(x, a, b).sum(), argnums=(0, 1))(k1, k2)
+    for a, b in zip(gg, gw):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-4)
+
+
+def test_fused_sln_chain_matches_composed(rng):
+    from iinsvae_tpu.ops.pallas.fused import fused_sln_chain
+    from iinsvae_tpu.ops import dense_conv as dense_ops
+    from iinsvae_tpu.ops.norms import sample_layer_norm
+    from iinsvae_tpu.ops.conv import upsample_nearest1d, conv1d
+    from iinsvae_tpu.ops.pooling import adaptive_avg_pool_matrix, adaptive_avg_pool1d
+
+    b, l0, c0 = 4, 8, 16
+    x = jnp.asarray(rng.normal(size=(b, l0, c0)), jnp.float32)
+    ks, gs, bs, d = [], [], [], c0
+    for j in range(2):
+        ks.append(jnp.asarray(rng.normal(size=(5, d, d // 2)) * 0.1, jnp.float32))
+        gs.append(jnp.asarray(rng.uniform(size=(d // 2,)), jnp.float32))
+        bs.append(jnp.asarray(rng.normal(size=(d // 2,)) * 0.1, jnp.float32))
+        d //= 2
+    ko = jnp.asarray(rng.normal(size=(7, d, 1)) * 0.1, jnp.float32)
+    bo = jnp.asarray(rng.normal(size=(1,)), jnp.float32)
+    in_dim = 37
+
+    def composed(x, ks, ko):
+        for j in range(2):
+            x = upsample_nearest1d(x, 2)
+            x = conv1d(x, ks[j], None, padding=2)
+            x = sample_layer_norm(x, gs[j], bs[j])
+            x = jax.nn.relu(x)
+        x = jnp.tanh(conv1d(x, ko, bo, padding=3, pad_mode="reflect"))
+        return adaptive_avg_pool1d(x, in_dim).reshape(x.shape[0], in_dim)
+
+    def chained(x, ks, ko):
+        l = l0
+        ms, gammas, betas = [], [], []
+        for j in range(2):
+            ms.append(dense_ops.dense_upconv_matrix(ks[j], l, padding=2))
+            l *= 2
+            gammas.append(jnp.tile(gs[j], l).reshape(1, -1))
+            betas.append(jnp.tile(bs[j], l).reshape(1, -1))
+        m_out = dense_ops.dense_conv_matrix(ko, l, padding=3, pad_mode="reflect")
+        pool = adaptive_avg_pool_matrix(l, in_dim)
+        return fused_sln_chain(
+            x.reshape(x.shape[0], -1), tuple(ms), tuple(gammas), tuple(betas),
+            m_out, jnp.tile(bo, l).reshape(1, -1), pool)
+
+    want = composed(x, ks, ko)
+    got = chained(x, ks, ko)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    gw = jax.grad(lambda a, o: composed(x, [a, ks[1]], o).sum())(ks[0], ko)
+    gg = jax.grad(lambda a, o: chained(x, [a, ks[1]], o).sum())(ks[0], ko)
+    np.testing.assert_allclose(gg, gw, rtol=2e-3, atol=2e-4)
