@@ -23,25 +23,52 @@ def _soft_sample(key, mu, logvar):
     return eps * std + mu
 
 
+def _mlp_chain(mod, x, widths, slopes):
+    """Dense+LeakyReLU chain with torch-default init; ONE fused Pallas
+    kernel each way on TPU (fused_mlp_chain), composed Dense ops otherwise.
+    slopes[j] is the LeakyReLU negative slope after layer j (1.0 = linear).
+    """
+    from iinsvae_tpu.models.layers import _bias_uniform_init
+    from iinsvae_tpu.ops.pallas import fused as pf
+
+    ws, bs, d = [], [], x.shape[-1]
+    for j, w in enumerate(widths):
+        ws.append(mod.param(f"w{j}", _bias_uniform_init(d), (d, w)))
+        bs.append(mod.param(f"b{j}", _bias_uniform_init(d), (w,)))
+        d = w
+    if pf.pallas_enabled() and x.shape[0] <= pf.MAX_FUSED_BATCH:
+        return pf.fused_mlp_chain(
+            x, [w.astype(x.dtype) for w in ws], [b.astype(x.dtype) for b in bs],
+            slopes,
+        )
+    for w, b, s in zip(ws, bs, slopes):
+        x = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype) + b.astype(x.dtype)
+        if s != 1.0:
+            x = nn.leaky_relu(x, s)
+    return x
+
+
 class RestorerLinear(nn.Module):
     """flatten -> 512 -> 256 -> 256 (LeakyReLU 0.2) -> 1 or (mu, logvar)
-    (reference models.py:615-658)."""
+    (reference models.py:615-658). On TPU the whole chain is ONE Pallas
+    kernel each way (fused_mlp_chain) — the heads were 8 sub-microsecond
+    matmul launches per step."""
 
     soft: bool = False
 
     @nn.compact
     def __call__(self, range_code, *, train: bool = False, sample_key: Optional[jax.Array] = None):
         x = range_code.reshape(range_code.shape[0], -1)
-        x = nn.leaky_relu(Dense(512)(x), 0.2)
-        x = nn.leaky_relu(Dense(256)(x), 0.2)
-        x = nn.leaky_relu(Dense(256)(x), 0.2)
+        out = _mlp_chain(
+            self, x, (512, 256, 256, 2 if self.soft else 1),
+            (0.2, 0.2, 0.2, 1.0),
+        )
         if self.soft:
-            out = Dense(2)(x)
             mu, logvar = out[:, 0:1], out[:, 1:2]
             if sample_key is None:
                 return mu
             return _soft_sample(sample_key, mu, logvar)
-        return Dense(1)(x)
+        return out
 
 
 class RestorerConv1d(nn.Module):
@@ -150,10 +177,11 @@ class ClassifierLinear(nn.Module):
     @nn.compact
     def __call__(self, env_code, *, train: bool = False):
         x = env_code.reshape(env_code.shape[0], -1)
-        x = nn.leaky_relu(Dense(self.filters)(x), 0.01)
-        x = nn.leaky_relu(Dense(self.filters * 2)(x), 0.01)
-        x = nn.leaky_relu(Dense(self.filters)(x), 0.01)
-        return nn.leaky_relu(Dense(self.num_classes)(x), 0.2)
+        return _mlp_chain(
+            self, x,
+            (self.filters, self.filters * 2, self.filters, self.num_classes),
+            (0.01, 0.01, 0.01, 0.2),
+        )
 
 
 class ClassifierConv1d(nn.Module):

@@ -963,6 +963,119 @@ def fused_sln_chain(x, ms, gammas, betas, m_out, bias_out, pool):
     return layer(x, msc, tuple(gammas), tuple(betas), m_out, bias_out, pool)
 
 
+# ----------------------- fused MLP chain (heads) -----------------------
+#
+# The Restorer/Classifier linear heads are 4 Dense+LeakyReLU layers each —
+# 8 matmul launches per head per direction for sub-microsecond matmuls.
+# One kernel runs the whole chain; backward recomputes the y-chain from the
+# saved pre-activation d's.
+
+
+def _leaky(d, slope):
+    return jnp.where(d > 0, d, slope * d)
+
+
+def _fwd_mlp_kernel(slopes, refs):
+    k = len(slopes)
+    x_ref = refs[0]
+    w_refs = refs[1 : 1 + k]
+    b_refs = refs[1 + k : 1 + 2 * k]
+    out_ref = refs[1 + 2 * k]
+    d_refs = refs[2 + 2 * k : 2 + 3 * k]
+    y = _ld(x_ref)
+    for j in range(k):
+        d = jnp.dot(y, _ld(w_refs[j]), preferred_element_type=jnp.float32) + _ld(b_refs[j])
+        d_refs[j][:] = d.astype(d_refs[j].dtype)
+        y = _leaky(d, slopes[j])
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
+def _bwd_mlp_kernel(slopes, refs):
+    k = len(slopes)
+    g_ref = refs[0]
+    x_ref = refs[1]
+    d_refs = refs[2 : 2 + k]
+    w_refs = refs[2 + k : 2 + 2 * k]
+    dx_ref = refs[2 + 2 * k]
+    dw_refs = refs[3 + 2 * k : 3 + 3 * k]
+    db_refs = refs[3 + 3 * k : 3 + 4 * k]
+    ys = [_ld(x_ref)]
+    for j in range(k):
+        ys.append(_leaky(_ld(d_refs[j]), slopes[j]))
+    g = _ld(g_ref)
+    for j in range(k - 1, -1, -1):
+        d = _ld(d_refs[j])
+        gd = jnp.where(d > 0, g, slopes[j] * g)
+        dw_refs[j][:] = jnp.dot(ys[j].T, gd, preferred_element_type=jnp.float32).astype(dw_refs[j].dtype)
+        db_refs[j][:] = jnp.sum(gd, axis=0, keepdims=True).astype(db_refs[j].dtype)
+        g = jnp.dot(gd, _ld(w_refs[j]).T, preferred_element_type=jnp.float32)
+    dx_ref[:] = g.astype(dx_ref.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_mlp_chain_layer(slopes: tuple, dims: tuple):
+    k = len(slopes)
+
+    def fwd_call(x, ws, bs):
+        b = x.shape[0]
+        kern = lambda *refs: _fwd_mlp_kernel(slopes, refs)
+        out_shape = (
+            [jax.ShapeDtypeStruct((b, dims[-1]), x.dtype)]
+            + [jax.ShapeDtypeStruct((b, n), x.dtype) for n in dims]
+        )
+        res = pl.pallas_call(
+            kern,
+            out_shape=tuple(out_shape),
+            in_specs=[_vmem()] * (1 + 2 * k),
+            out_specs=tuple([_vmem()] * (1 + k)),
+            interpret=_interpret(),
+        )(x, *ws, *bs)
+        return res[0], res[1:]
+
+    def bwd_call(g, x, ds, ws):
+        kern = lambda *refs: _bwd_mlp_kernel(slopes, refs)
+        out_shape = (
+            [jax.ShapeDtypeStruct(x.shape, x.dtype)]
+            + [jax.ShapeDtypeStruct(w.shape, w.dtype) for w in ws]
+            + [jax.ShapeDtypeStruct((1, n), x.dtype) for n in dims]
+        )
+        return pl.pallas_call(
+            kern,
+            out_shape=tuple(out_shape),
+            in_specs=[_vmem()] * (2 + 2 * k),
+            out_specs=tuple([_vmem()] * (1 + 2 * k)),
+            interpret=_interpret(),
+        )(g, x, *ds, *ws)
+
+    @jax.custom_vjp
+    def layer(x, ws, bs):
+        return fwd_call(x, ws, bs)[0]
+
+    def layer_fwd(x, ws, bs):
+        out, ds = fwd_call(x, ws, bs)
+        return out, (x, tuple(ds), ws)
+
+    def layer_bwd(saved, g):
+        x, ds, ws = saved
+        res = bwd_call(g, x, ds, ws)
+        dx = res[0]
+        dws = tuple(res[1 : 1 + k])
+        dbs = tuple(res[1 + k : 1 + 2 * k])  # (1, N) — matches the layer inputs
+        return dx, dws, dbs
+
+    layer.defvjp(layer_fwd, layer_bwd)
+    return layer
+
+
+def fused_mlp_chain(x, ws, bs, slopes):
+    """x (B, D0) through k Dense(+bias)+LeakyReLU(slope_j) layers in ONE
+    kernel each way. ws[j]: (D_j, D_{j+1}); bs[j]: (D_{j+1},); slopes[j]:
+    the LeakyReLU negative slope per layer (1.0 = linear, no activation)."""
+    dims = tuple(w.shape[1] for w in ws)
+    layer = _make_mlp_chain_layer(tuple(float(s) for s in slopes), dims)
+    return layer(x, tuple(ws), tuple(b.reshape(1, -1) for b in bs))
+
+
 # ------------------------- custom-vjp wrappers -------------------------
 
 

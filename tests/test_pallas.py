@@ -299,3 +299,38 @@ def test_fused_sln_chain_matches_composed(rng):
     gw = jax.grad(lambda a, o: composed(x, [a, ks[1]], o).sum())(ks[0], ko)
     gg = jax.grad(lambda a, o: chained(x, [a, ks[1]], o).sum())(ks[0], ko)
     np.testing.assert_allclose(gg, gw, rtol=2e-3, atol=2e-4)
+
+
+def test_fused_mlp_chain_heads_match_composed(rng):
+    from iinsvae_tpu.models.heads import Restorer, Classifier
+    from iinsvae_tpu.ops.pallas.fused import set_pallas_enabled
+
+    rc = jnp.asarray(rng.normal(size=(6, 8, 2)), jnp.float32)
+    ec = jnp.asarray(rng.normal(size=(6, 8)), jnp.float32)
+    r = Restorer(net_type="Linear")
+    c = Classifier(num_classes=5, net_type="Linear")
+    try:
+        rv = r.init(jax.random.PRNGKey(0), rc)
+        cv = c.init(jax.random.PRNGKey(1), ec)
+        out_f = r.apply(rv, rc)
+        log_f = c.apply(cv, ec)
+        set_pallas_enabled(False)
+        out_c = r.apply(rv, rc)
+        log_c = c.apply(cv, ec)
+    finally:
+        set_pallas_enabled(True)
+    np.testing.assert_allclose(out_f, out_c, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(log_f, log_c, rtol=2e-5, atol=2e-6)
+
+    # grads through the chain
+    def loss(params, on):
+        set_pallas_enabled(on)
+        return jnp.sum(r.apply({"params": params}, rc) ** 2)
+
+    try:
+        g1 = jax.grad(loss)(rv["params"], True)
+        g0 = jax.grad(loss)(rv["params"], False)
+    finally:
+        set_pallas_enabled(True)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)

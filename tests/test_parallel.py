@@ -212,3 +212,31 @@ def test_graft_dryrun_reexecs_on_small_platform():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "REEXEC_OK" in out.stdout
+
+
+def test_shard_map_dp_conv_type2_grouped():
+    """The expanded-2D path (grouped encoder + fast decoder lowerings) under
+    shard_map data parallelism: static column-group structure must compose
+    with the mesh, and the sharded loss must match single-device."""
+    from iinsvae_tpu.parallel.shard import make_dp_train_step, place_dp
+    from iinsvae_tpu.training.steps import make_semi_grads_fn
+
+    def setup2d():
+        model = IInsVAE(cir_len=L, num_classes=5, conv_type=2, expand=True,
+                        style_dim=16)
+        variables = model.init({"params": jax.random.PRNGKey(0)},
+                               jnp.ones((2, L)))
+        return model, create_train_state(model, variables, make_optimizer())
+
+    model, state = setup2d()
+    batch = _batch(16)
+    s1, m1 = jax.jit(make_semi_train_step(model, 1.0))(
+        state, batch, jax.random.PRNGKey(0))
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    model2, state2 = setup2d()
+    step = make_dp_train_step(make_semi_grads_fn(model2, 1.0), mesh)
+    s_sh, b_sh = place_dp(mesh, state2, batch)
+    s2, m2 = step(s_sh, b_sh, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-4)
