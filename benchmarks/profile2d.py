@@ -1,12 +1,11 @@
 #!/usr/bin/env python
 """Per-component timing of the conv_type=2 (expanded 2-D) training path.
 
-Times, on the real device, with host-value-fetch synchronization (the
-tunneled TPU backend's block_until_ready is unreliable — CLAUDE.md):
-  * full semi train step
-  * encoder-only forward+backward (sum of outputs as scalar loss)
-  * decoder-only forward+backward
-Used to decide where the 2-D optimization effort goes (BASELINE.md round log).
+All timings are SCAN-AMORTIZED: the measured computation runs N times
+inside one lax.scan per synced call, so the ~33 ms tunnel round trip per
+host-value fetch distorts each reported number by RT/N (~0.17 ms at
+N=200). Early round-2 numbers used 20 dispatches per sync (+1.65 ms each);
+the BASELINE.md table marks which are which.
 """
 
 from __future__ import annotations
@@ -16,22 +15,7 @@ import time
 
 import numpy as np
 
-
-def timed(fn, *args, n=20):
-    out = fn(*args)
-    _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    _sync(out)
-    return (time.perf_counter() - t0) / n
-
-
-def _sync(out):
-    import jax
-
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    float(np.asarray(leaf).reshape(-1)[0])
+REPS = 200
 
 
 def main():
@@ -42,6 +26,7 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from iinsvae_tpu.models import IInsVAE
     from iinsvae_tpu.models.encoders import Encoder
@@ -62,21 +47,36 @@ def main():
     }
     key = jax.random.PRNGKey(0)
 
-    # --- full step ---
+    def timed_scan(jitted, *args):
+        out = jitted(*args)
+        float(np.asarray(jax.tree_util.tree_leaves(out)[0]).reshape(-1)[0])
+        best = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = jitted(*args)
+            float(np.asarray(jax.tree_util.tree_leaves(out)[0]).reshape(-1)[0])
+            best = min(best, time.perf_counter() - t0)
+        return best / REPS
+
+    # --- full step (scanned; state chains through the scan) ---
     model = IInsVAE(cir_len=157, num_classes=5, style_dim=16, conv_type=2,
                     expand=True)
     variables = model.init({"params": key}, jnp.ones((2, 157)))
     tx = make_optimizer(1e-4, 0.5, 0.999, n_epochs=500, decay_start_epoch=100,
                         steps_per_epoch=16)
     state = create_train_state(model, variables, tx)
-    step = jax.jit(make_semi_train_step(model, 1.0))
+    step = make_semi_train_step(model, 1.0)
 
-    def run_step(state):
-        s2, m = step(state, batch, key)
-        return m["loss"]
+    @jax.jit
+    def run_steps(state):
+        def body(s, _):
+            s, m = step(s, batch, key)
+            return s, m["loss"]
+        s, losses = lax.scan(body, state, None, length=REPS)
+        return losses[-1]
 
-    t_step = timed(run_step, state)
-    print(f"full semi step:        {t_step*1e3:8.2f} ms  ({b/t_step:,.0f} samples/sec)")
+    t_step = timed_scan(run_steps, state)
+    print(f"full semi step:        {t_step*1e3:8.3f} ms  ({b/t_step:,.0f} samples/sec)")
 
     # --- encoder fwd+bwd ---
     enc = Encoder(conv_type=2, expand=True, dim=4, style_dim=16)
@@ -84,13 +84,19 @@ def main():
 
     @jax.jit
     def enc_fb(params, x):
-        def loss(p):
+        def loss(p, x):
             rc, cat, rv, kl = enc.apply({"params": p}, x, sample_key=key)
             return jnp.sum(rc.astype(jnp.float32)) + jnp.sum(cat.astype(jnp.float32)) + kl
-        return jax.grad(loss)(params)["range_encoder"]
 
-    t_enc = timed(enc_fb, evars["params"], cir)
-    print(f"encoder fwd+bwd:       {t_enc*1e3:8.2f} ms")
+        def body(acc, _):
+            g = jax.grad(loss)(params, x + acc.astype(x.dtype))
+            tot = sum(l.sum() for l in jax.tree_util.tree_leaves(g))
+            return tot * 1e-30, None
+        acc, _ = lax.scan(body, jnp.zeros(()), None, length=REPS)
+        return acc
+
+    t_enc = timed_scan(enc_fb, evars["params"], cir)
+    print(f"encoder fwd+bwd:       {t_enc*1e3:8.3f} ms")
 
     # --- decoder fwd+bwd ---
     dec = Decoder(conv_type=2, expand=True, dim=4, style_dim=16)
@@ -100,29 +106,30 @@ def main():
 
     @jax.jit
     def dec_fb(params, rc, ec):
-        def loss(p):
-            out = dec.apply({"params": p}, rc, ec)
-            return jnp.sum(out.astype(jnp.float32))
-        return jax.grad(loss)(params)["decoder"]
+        def loss(p, rc):
+            return jnp.sum(dec.apply({"params": p}, rc, ec).astype(jnp.float32))
 
-    t_dec = timed(dec_fb, dvars["params"], rc, ec)
-    print(f"decoder fwd+bwd:       {t_dec*1e3:8.2f} ms")
+        def body(acc, _):
+            g = jax.grad(loss)(params, rc + acc.astype(rc.dtype))
+            tot = sum(l.sum() for l in jax.tree_util.tree_leaves(g))
+            return tot * 1e-30, None
+        acc, _ = lax.scan(body, jnp.zeros(()), None, length=REPS)
+        return acc
 
-    # --- decoder with one residual block: res-tail cost by extrapolation ---
-    dec1 = Decoder(conv_type=2, expand=True, style_dim=16, n_residual=1)
-    d1vars = dec1.init({"params": key}, rc[:2], ec[:2])
+    t_dec = timed_scan(dec_fb, dvars["params"], rc, ec)
+    print(f"decoder fwd+bwd:       {t_dec*1e3:8.3f} ms")
 
+    # --- decoder fwd only ---
     @jax.jit
-    def dec1_fb(params, rc, ec):
-        def loss(p):
-            out = dec1.apply({"params": p}, rc, ec)
-            return jnp.sum(out.astype(jnp.float32))
-        return jax.grad(loss)(params)["decoder"]
+    def dec_f(params, rc, ec):
+        def body(acc, _):
+            out = dec.apply({"params": params}, rc + acc.astype(rc.dtype), ec)
+            return jnp.sum(out.astype(jnp.float32)) * 1e-30, None
+        acc, _ = lax.scan(body, jnp.zeros(()), None, length=REPS)
+        return acc
 
-    t_dec1 = timed(dec1_fb, d1vars["params"], rc, ec)
-    per_res = (t_dec - t_dec1) / 2
-    print(f"decoder n_residual=1:  {t_dec1*1e3:8.2f} ms  "
-          f"(per res block ~{per_res*1e3:.2f} ms, up+final ~{(t_dec1-per_res)*1e3:.2f} ms)")
+    t_dec_f = timed_scan(dec_f, dvars["params"], rc, ec)
+    print(f"decoder fwd only:      {t_dec_f*1e3:8.3f} ms")
 
 
 if __name__ == "__main__":

@@ -253,6 +253,12 @@ class Decoder2d(nn.Module):
                 y = cg.conv2d_grouped(y, k2, b2, padding=1, pad_mode="reflect")
                 xg = cg.add_grouped(xg, cg.adain_grouped(y, g2, be2))
             x = xg.expand()
+            # SLN+relu stays on XLA: a Pallas per-sample-stats kernel was
+            # built and measured 0.19 vs 0.24 ms f/b on the 8x8x128 stage but
+            # LOST on the wide stages (1.59 vs 1.13 ms at 64x64x16 — XLA's
+            # fused lowering already streams near HBM bandwidth there), and
+            # its 8/16/32-row grids forced batch padding; net neutral, so
+            # the simpler lowering wins.
             for k_up, b_up, gamma, beta in ups:
                 z = sp.upsample_conv5_phase(x, k_up, b_up)
                 z = sample_layer_norm(z, jnp.tile(gamma, 4), jnp.tile(beta, 4))

@@ -334,3 +334,4 @@ def test_fused_mlp_chain_heads_match_composed(rng):
         set_pallas_enabled(True)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
