@@ -88,6 +88,12 @@ def main():
         results.append(run_variant(
             f"conv_type2_{args.compute_dtype}", Config(conv_type=2, **base),
             args.epochs, args.batch))
+    if "conv3" in which:
+        # the column-image variant the reference flags "Not available yet"
+        # (models.py:218-255), made functional here
+        results.append(run_variant(
+            f"conv_type3_{args.compute_dtype}", Config(conv_type=3, **base),
+            args.epochs, args.batch))
     print(json.dumps({"metric": "variant_quality", "results": results}), flush=True)
 
 
