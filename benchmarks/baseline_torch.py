@@ -25,12 +25,45 @@ import torch.nn as nn
 import torch.nn.functional as F
 
 
+def weights_init_normal(m):
+    """Reference init (/root/reference/models.py:8-14): Conv* ~ N(0, 0.02);
+    BatchNorm* weight ~ N(1, 0.02), bias 0. Applied by the semi driver at
+    epoch 0 (/root/reference/train_semi.py:104-107)."""
+    name = m.__class__.__name__
+    if name.find("Conv") != -1 and hasattr(m, "weight"):
+        nn.init.normal_(m.weight.data, 0.0, 0.02)
+    elif name.find("BatchNorm") != -1 and hasattr(m, "weight") and m.weight is not None:
+        nn.init.normal_(m.weight.data, 1.0, 0.02)
+        nn.init.constant_(m.bias.data, 0.0)
+
+
 def conv_in_relu(cin, cout, k, s=1, p=0, norm=True):
     layers = [nn.Conv1d(cin, cout, k, s, p)]
     if norm:
         layers.append(nn.InstanceNorm1d(cout))
     layers.append(nn.ReLU(inplace=True))
     return layers
+
+
+class RefLayerNorm(nn.Module):
+    """The reference's custom per-sample LayerNorm, exact semantics
+    (/root/reference/models.py:965-985): whole-tensor per-sample mean and
+    UNBIASED std, normalized as (x-mean)/(std+eps) — std+eps, not
+    sqrt(var+eps) — then per-channel affine with gamma ~ U(0,1), beta=0.
+    Replaces the round-2 GroupNorm(1,·) stand-in (VERDICT round-3 item 1)."""
+
+    def __init__(self, num_features, eps=1e-5):
+        super().__init__()
+        self.gamma = nn.Parameter(torch.Tensor(num_features).uniform_())
+        self.beta = nn.Parameter(torch.zeros(num_features))
+        self.eps = eps
+
+    def forward(self, x):
+        flat = x.view(x.size(0), -1)
+        mean = flat.mean(1).view(-1, 1, 1)
+        std = flat.std(1).view(-1, 1, 1)
+        x = (x - mean) / (std + self.eps)
+        return x * self.gamma.view(1, -1, 1) + self.beta.view(1, -1, 1)
 
 
 class ResBlock(nn.Module):
@@ -97,7 +130,7 @@ class SemiNet(nn.Module):
         d = 64
         for _ in range(4):
             up += [nn.Upsample(scale_factor=2), nn.Conv1d(d, d // 2, 5, 1, 2),
-                   nn.GroupNorm(1, d // 2), nn.ReLU(inplace=True)]
+                   RefLayerNorm(d // 2), nn.ReLU(inplace=True)]
             d //= 2
         up += [nn.ReflectionPad1d(3), nn.Conv1d(d, 1, 7), nn.Tanh(),
                nn.AdaptiveAvgPool1d(cir_len)]
@@ -171,6 +204,7 @@ def train_fixture(args):
 
     torch.manual_seed(cfg.seed)
     net = SemiNet(cir_len=cir_tr.shape[1], num_classes=int(lab_tr_t.max()) + 1)
+    net.apply(weights_init_normal)
     opt = torch.optim.Adam(net.parameters(), lr=1e-4, betas=(0.5, 0.999))
     decay_start = 100
     sched = torch.optim.lr_scheduler.LambdaLR(

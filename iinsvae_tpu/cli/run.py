@@ -59,7 +59,21 @@ def main(argv=None, cfg: Config | None = None):
     if cfg.epoch != 0:
         state = restore_checkpoint(model_path, cfg.epoch, state)
 
-    run_epoch = make_epoch_runner(make_joint_train_step(model), cfg.batch_size)
+    if cfg.n_devices > 1:
+        from iinsvae_tpu.parallel.mesh import make_mesh
+        from iinsvae_tpu.parallel.shard import make_dp_train_step, place_dp
+        from iinsvae_tpu.training.steps import make_joint_grads_fn
+
+        mesh = make_mesh(
+            n_data=cfg.n_devices, n_model=1,
+            devices=jax.devices()[: cfg.n_devices],
+        )
+        train_step = make_dp_train_step(make_joint_grads_fn(model), mesh, jit=False)
+        state, train = place_dp(mesh, state, train)
+        logger.info(f"[parallel] shard_map DP over {cfg.n_devices} devices")
+    else:
+        train_step = make_joint_train_step(model)
+    run_epoch = make_epoch_runner(train_step, cfg.batch_size)
     epoch_log = EpochLogger(
         logger, cfg.n_epochs,
         f"[Data Env: {cfg.dataset_env}] "

@@ -71,9 +71,30 @@ def main(argv=None, cfg: Config | None = None):
         state = restore_checkpoint(model_path, cfg.epoch, state)
         logger.info(f"resumed from epoch {cfg.epoch}")
 
-    train_step = make_semi_train_step(
-        model, supervision_rate=cfg.supervision_rate, mask_mode=cfg.mask_mode
-    )
+    if cfg.n_devices > 1:
+        # shard_map DP: batch sharded over a 1-axis mesh, params replicated,
+        # grads pmean'd — composed inside the whole-epoch scan
+        # (tests/test_parallel.py::test_epoch_runner_composes_with_dp_step)
+        from iinsvae_tpu.parallel.mesh import make_mesh
+        from iinsvae_tpu.parallel.shard import make_dp_train_step, place_dp
+        from iinsvae_tpu.training.steps import make_semi_grads_fn
+
+        mesh = make_mesh(
+            n_data=cfg.n_devices, n_model=1,
+            devices=jax.devices()[: cfg.n_devices],
+        )
+        train_step = make_dp_train_step(
+            make_semi_grads_fn(
+                model, cfg.supervision_rate, mask_mode=cfg.mask_mode
+            ),
+            mesh, jit=False,
+        )
+        state, train = place_dp(mesh, state, train)
+        logger.info(f"[parallel] shard_map DP over {cfg.n_devices} devices")
+    else:
+        train_step = make_semi_train_step(
+            model, supervision_rate=cfg.supervision_rate, mask_mode=cfg.mask_mode
+        )
     run_epoch = make_epoch_runner(train_step, cfg.batch_size)
 
     epoch_log = EpochLogger(

@@ -75,6 +75,7 @@ class Config:
     mask_mode: str = "sample"  # sample (intent) | batch (reference literal)
     profile_dir: str = ""  # jax.profiler trace dir ('' = off)
     # runtime (new)
+    n_devices: int = 1  # data-parallel shards (1 = single device)
     seed: int = 0
     data_root: str = "./data/data_zenodo/dataset.pkl"
     out_dir: str = "./saved_results"
@@ -148,6 +149,9 @@ def add_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     a("--supervision_rate", type=float, default=d.supervision_rate)
     a("--mask_mode", type=str, default=d.mask_mode, choices=["sample", "batch"])
     a("--profile_dir", type=str, default=d.profile_dir, help="write a jax.profiler trace here")
+    a("--n_devices", type=int, default=d.n_devices,
+      help="shard training batches over N local devices (shard_map DP over a "
+           "1-axis mesh; params replicated, grads pmean'd over ICI)")
     a("--seed", type=int, default=d.seed)
     a("--data_root", type=str, default=d.data_root)
     a("--out_dir", type=str, default=d.out_dir)
@@ -178,6 +182,11 @@ def from_args(args: argparse.Namespace) -> Config:
     if cfg.dataset_env not in NUM_CLASSES and cfg.dataset_name == "zenodo":
         raise ValueError(
             f"Unknown environment {cfg.dataset_env!r}; choices: {sorted(NUM_CLASSES)}"
+        )
+    if cfg.n_devices > 1 and cfg.batch_size % cfg.n_devices:
+        raise ValueError(
+            f"--batch_size {cfg.batch_size} must be divisible by "
+            f"--n_devices {cfg.n_devices}"
         )
     return cfg
 

@@ -13,6 +13,8 @@ layers of residual block 0 first, then block 1, etc.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -29,6 +31,11 @@ _DECODER2D_IMPL = "fast"
 
 
 def set_decoder2d_impl(impl: str) -> None:
+    """Set the DEFAULT lowering for Decoder facades whose ``lowering`` field
+    is None. Read at trace time, not a jit cache key — call BEFORE tracing,
+    or pass ``Decoder(lowering=...)`` explicitly (ADVICE round-2). Note the
+    two lowerings return different shapes from Decoder2d; the facade
+    normalizes both to (B, in_dim)."""
     global _DECODER2D_IMPL
     assert impl in ("fast", "dense")
     _DECODER2D_IMPL = impl
@@ -98,11 +105,17 @@ class Decoder1d(nn.Module):
             )
             for i in range(self.n_residual)
         ]
-        up_kernels, up_gammas, up_betas, up_dims = [], [], [], []
+        up_kernels, up_biases, up_gammas, up_betas, up_dims = [], [], [], [], []
         d = dim
         for j in range(self.n_upsample):
             up_kernels.append(
                 self.param(f"up{j}_kernel", conv_normal_init(), (5, d, d // 2))
+            )
+            # reference nn.Conv1d(dim, dim//2, 5) has bias=True; the custom
+            # per-sample LayerNorm does NOT absorb a per-channel bias
+            # (unlike IN/AdaIN stages), so it must exist (ADVICE round-2)
+            up_biases.append(
+                self.param(f"up{j}_bias", _bias_uniform_init(d * 5), (d // 2,))
             )
             up_gammas.append(
                 self.param(f"up{j}_gamma", lambda k, s: jax.random.uniform(k, s), (d // 2,))
@@ -143,10 +156,11 @@ class Decoder1d(nn.Module):
             # the whole upsample tail — 4x (upsample+conv+SLN+relu) and the
             # final conv+tanh+pool — is ONE kernel each way (fused_sln_chain)
             l = l0
-            ms, gammas, betas = [], [], []
+            ms, biases, gammas, betas = [], [], [], []
             for j in range(self.n_upsample):
                 ms.append(dense_ops.dense_upconv_matrix(up_kernels[j], l, padding=2))
                 l *= 2
+                biases.append(jnp.tile(up_biases[j], l).reshape(1, -1))
                 gammas.append(jnp.tile(up_gammas[j], l).reshape(1, -1))
                 betas.append(jnp.tile(up_betas[j], l).reshape(1, -1))
             m_out = dense_ops.dense_conv_matrix(
@@ -156,6 +170,7 @@ class Decoder1d(nn.Module):
             return pf.fused_sln_chain(
                 x2, tuple(ms), tuple(gammas), tuple(betas),
                 m_out, jnp.tile(out_bias, l).reshape(1, -1), pool,
+                biases=tuple(biases),
             )
 
         # ---- composed reference path (identical math) ----
@@ -171,7 +186,7 @@ class Decoder1d(nn.Module):
             x = x + norm_ops.adain(y, g2, b2)
         for j in range(self.n_upsample):
             x = upsample_nearest1d(x, 2)
-            x = conv1d(x, up_kernels[j], None, padding=2)
+            x = conv1d(x, up_kernels[j], up_biases[j], padding=2)
             x = norm_ops.sample_layer_norm(x, up_gammas[j], up_betas[j])
             x = nn.relu(x)
         x = jnp.tanh(conv1d(x, out_kernel, out_bias, padding=3, pad_mode="reflect"))
@@ -345,6 +360,8 @@ class Decoder(nn.Module):
     out_dim: int = 2
     style_dim: int = 8
     expand: bool = False
+    # 'fast' | 'dense' | None (= module default, set_decoder2d_impl)
+    lowering: Optional[str] = None
 
     @nn.compact
     def __call__(self, range_code, env_code):
@@ -354,12 +371,13 @@ class Decoder(nn.Module):
                 self.out_dim, self.style_dim, name="decoder",
             )(range_code, env_code)
         if self.conv_type == 2 and self.expand:
+            impl = self.lowering or _DECODER2D_IMPL
             x = Decoder2d(
                 self.dim, self.n_residual, self.n_upsample, self.in_dim,
                 self.out_dim, self.style_dim, name="decoder",
-                lowering=_DECODER2D_IMPL,
+                lowering=impl,
             )(range_code, env_code)
-            if _DECODER2D_IMPL == "fast":
+            if impl == "fast":
                 return x  # already the first column, (B, in_dim)
             # keep the first column, as the reference does (models.py:90)
             return x[:, :, 0, 0]

@@ -45,6 +45,11 @@ _CONV2D_EXPAND_IMPL = "grouped"
 
 
 def set_conv2d_expand_impl(impl: str) -> None:
+    """Set the DEFAULT lowering for Encoder instances whose ``lowering``
+    field is None. The default is read at trace time and is not part of any
+    jit cache key — call this BEFORE any train/eval step is traced, or pass
+    ``Encoder(lowering=...)`` / ``IInsVAE(lowering_2d=...)`` explicitly
+    (ADVICE round-2)."""
     global _CONV2D_EXPAND_IMPL
     assert impl in ("grouped", "dense")
     _CONV2D_EXPAND_IMPL = impl
@@ -352,6 +357,8 @@ class Encoder(nn.Module):
     style_dim: int = 8
     out_dim: int = 2
     expand: bool = False
+    # 'grouped' | 'dense' | None (= module default, set_conv2d_expand_impl)
+    lowering: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, sample_key: Optional[jax.Array] = None):
@@ -372,7 +379,7 @@ class Encoder(nn.Module):
             # lowering the square image is never materialized: the expansion
             # is column-constant, so the encoders carry only its distinct
             # columns (ops/colgroups.py) — exact, parity-tested.
-            if _CONV2D_EXPAND_IMPL == "grouped":
+            if (self.lowering or _CONV2D_EXPAND_IMPL) == "grouped":
                 xin = cg.constant_field(x.reshape(b, l, 1), l)
             else:
                 xin = jnp.broadcast_to(x[:, :, None], (b, l, l))[..., None]

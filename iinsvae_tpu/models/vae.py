@@ -42,17 +42,24 @@ class IInsVAE(nn.Module):
     classifier_type: str = "Linear"
     soft: bool = False
     expand: bool = False
+    # Explicit 2-D lowering choice: encoder 'grouped'/'dense', decoder
+    # 'fast'/'dense'. None = the module-level defaults (which are read at
+    # trace time — see set_conv2d_expand_impl / set_decoder2d_impl).
+    enc_lowering: Optional[str] = None
+    dec_lowering: Optional[str] = None
 
     def setup(self):
         self.encoder = Encoder(
             conv_type=self.conv_type, dim=self.dim, n_residual=self.n_residual,
             n_downsample=self.n_downsample, style_dim=self.style_dim,
             out_dim=self.range_dim, expand=self.expand,
+            lowering=self.enc_lowering,
         )
         self.decoder = Decoder(
             conv_type=self.conv_type, dim=self.dim, n_residual=self.n_residual,
             n_upsample=self.n_downsample, in_dim=self.cir_len,
             out_dim=self.range_dim, style_dim=self.style_dim, expand=self.expand,
+            lowering=self.dec_lowering,
         )
         self.restorer = Restorer(
             soft=self.soft, conv_type=self.conv_type, expand=self.expand,

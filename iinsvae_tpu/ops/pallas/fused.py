@@ -802,8 +802,8 @@ def fused_tanh_pool_layer(x, m, bias_full, pool):
 # activations — ~10 MB of the ~16 MB VMEM at the flagship sizes.
 
 
-def _sln_stage_fwd(y_prev, m_ref, g_ref, b_ref, n):
-    d = jnp.dot(y_prev, _ld(m_ref), preferred_element_type=jnp.float32)
+def _sln_stage_fwd(y_prev, m_ref, bi_ref, g_ref, b_ref, n):
+    d = jnp.dot(y_prev, _ld(m_ref), preferred_element_type=jnp.float32) + _ld(bi_ref)
     ss = jnp.sum(d * d, axis=1, keepdims=True) / (n - 1)
     t = 1.0 / (jnp.sqrt(ss) + _EPS)
     y = jnp.maximum((d * t) * _ld(g_ref) + _ld(b_ref), 0.0)
@@ -811,7 +811,7 @@ def _sln_stage_fwd(y_prev, m_ref, g_ref, b_ref, n):
 
 
 def _sln_stage_bwd(gy, d, y_prev, m_ref, g_ref, b_ref, n):
-    """Returns (gy_prev, dm, dgf, dbf) for one SLN stage; recomputes t."""
+    """Returns (gy_prev, dm, dbi, dgf, dbf) for one SLN stage; recomputes t."""
     ss = jnp.sum(d * d, axis=1, keepdims=True) / (n - 1)
     s = jnp.sqrt(ss)
     t = 1.0 / (s + _EPS)
@@ -827,22 +827,24 @@ def _sln_stage_bwd(gy, d, y_prev, m_ref, g_ref, b_ref, n):
     gd = gyh * t + d * (2.0 * gss / (n - 1))
     gy_prev = jnp.dot(gd, _ld(m_ref).T, preferred_element_type=jnp.float32)
     dm = jnp.dot(y_prev.T, gd, preferred_element_type=jnp.float32)
-    return gy_prev, dm, dgf, dbf
+    dbi = jnp.sum(gd, axis=0, keepdims=True)
+    return gy_prev, dm, dbi, dgf, dbf
 
 
 def _fwd_sln_chain_kernel(ns, refs):
     k = len(ns)
     x_ref = refs[0]
     m_refs = refs[1 : 1 + k]
-    g_refs = refs[1 + k : 1 + 2 * k]
-    b_refs = refs[1 + 2 * k : 1 + 3 * k]
-    mo_ref, bo_ref, pool_ref = refs[1 + 3 * k : 4 + 3 * k]
-    out_ref = refs[4 + 3 * k]
-    d_refs = refs[5 + 3 * k : 5 + 4 * k]
-    th_ref = refs[5 + 4 * k]
+    bi_refs = refs[1 + k : 1 + 2 * k]
+    g_refs = refs[1 + 2 * k : 1 + 3 * k]
+    b_refs = refs[1 + 3 * k : 1 + 4 * k]
+    mo_ref, bo_ref, pool_ref = refs[1 + 4 * k : 4 + 4 * k]
+    out_ref = refs[4 + 4 * k]
+    d_refs = refs[5 + 4 * k : 5 + 5 * k]
+    th_ref = refs[5 + 5 * k]
     y = _ld(x_ref)
     for j in range(k):
-        d, y = _sln_stage_fwd(y, m_refs[j], g_refs[j], b_refs[j], ns[j])
+        d, y = _sln_stage_fwd(y, m_refs[j], bi_refs[j], g_refs[j], b_refs[j], ns[j])
         d_refs[j][:] = d.astype(d_refs[j].dtype)
     z = jnp.dot(y, _ld(mo_ref), preferred_element_type=jnp.float32) + _ld(bo_ref)
     th = jnp.tanh(z)
@@ -862,9 +864,10 @@ def _bwd_sln_chain_kernel(ns, refs):
     o = 5 + 4 * k
     dx_ref = refs[o]
     dm_refs = refs[o + 1 : o + 1 + k]
-    dg_refs = refs[o + 1 + k : o + 1 + 2 * k]
-    db_refs = refs[o + 1 + 2 * k : o + 1 + 3 * k]
-    dmo_ref, dbo_ref = refs[o + 1 + 3 * k : o + 3 + 3 * k]
+    dbi_refs = refs[o + 1 + k : o + 1 + 2 * k]
+    dg_refs = refs[o + 1 + 2 * k : o + 1 + 3 * k]
+    db_refs = refs[o + 1 + 3 * k : o + 1 + 4 * k]
+    dmo_ref, dbo_ref = refs[o + 1 + 4 * k : o + 3 + 4 * k]
 
     # recompute the y chain from the saved pre-norm d's
     ys = [_ld(x_ref)]
@@ -881,10 +884,11 @@ def _bwd_sln_chain_kernel(ns, refs):
     dbo_ref[:] = jnp.sum(gz, axis=0, keepdims=True).astype(dbo_ref.dtype)
     gy = jnp.dot(gz, _ld(mo_ref).T, preferred_element_type=jnp.float32)
     for j in range(k - 1, -1, -1):
-        gy, dm, dgf, dbf = _sln_stage_bwd(
+        gy, dm, dbi, dgf, dbf = _sln_stage_bwd(
             gy, _ld(d_refs[j]), ys[j], m_refs[j], g_affs[j], b_affs[j], ns[j]
         )
         dm_refs[j][:] = dm.astype(dm_refs[j].dtype)
+        dbi_refs[j][:] = dbi.astype(dbi_refs[j].dtype)
         dg_refs[j][:] = dgf.astype(dg_refs[j].dtype)
         db_refs[j][:] = dbf.astype(db_refs[j].dtype)
     dx_ref[:] = gy.astype(dx_ref.dtype)
@@ -894,7 +898,7 @@ def _bwd_sln_chain_kernel(ns, refs):
 def _make_sln_chain_layer(ns: tuple, n_mid: int, n_out: int):
     k = len(ns)
 
-    def fwd_call(x, ms, gs, bs, mo, bo, pool):
+    def fwd_call(x, ms, bis, gs, bs, mo, bo, pool):
         b = x.shape[0]
         kern = lambda *refs: _fwd_sln_chain_kernel(ns, refs)
         out_shape = (
@@ -905,10 +909,10 @@ def _make_sln_chain_layer(ns: tuple, n_mid: int, n_out: int):
         res = pl.pallas_call(
             kern,
             out_shape=tuple(out_shape),
-            in_specs=[_vmem()] * (4 + 3 * k),
+            in_specs=[_vmem()] * (4 + 4 * k),
             out_specs=tuple([_vmem()] * (2 + k)),
             interpret=_interpret(),
-        )(x, *ms, *gs, *bs, mo, bo, pool)
+        )(x, *ms, *bis, *gs, *bs, mo, bo, pool)
         return res[0], res[1 : 1 + k], res[1 + k]
 
     def bwd_call(g, x, ds, ms, gs, bs, mo, pool, th):
@@ -916,6 +920,7 @@ def _make_sln_chain_layer(ns: tuple, n_mid: int, n_out: int):
         out_shape = (
             [jax.ShapeDtypeStruct(x.shape, x.dtype)]
             + [jax.ShapeDtypeStruct(m.shape, m.dtype) for m in ms]
+            + [jax.ShapeDtypeStruct((1, n), x.dtype) for n in ns]
             + [jax.ShapeDtypeStruct(gf.shape, gf.dtype) for gf in gs]
             + [jax.ShapeDtypeStruct(bf.shape, bf.dtype) for bf in bs]
             + [jax.ShapeDtypeStruct(mo.shape, mo.dtype),
@@ -925,16 +930,16 @@ def _make_sln_chain_layer(ns: tuple, n_mid: int, n_out: int):
             kern,
             out_shape=tuple(out_shape),
             in_specs=[_vmem()] * (5 + 4 * k),
-            out_specs=tuple([_vmem()] * (3 + 3 * k)),
+            out_specs=tuple([_vmem()] * (3 + 4 * k)),
             interpret=_interpret(),
         )(g, x, *ds, *ms, *gs, *bs, mo, pool, th)
 
     @jax.custom_vjp
-    def layer(x, ms, gs, bs, mo, bo, pool):
-        return fwd_call(x, ms, gs, bs, mo, bo, pool)[0]
+    def layer(x, ms, bis, gs, bs, mo, bo, pool):
+        return fwd_call(x, ms, bis, gs, bs, mo, bo, pool)[0]
 
-    def layer_fwd(x, ms, gs, bs, mo, bo, pool):
-        out, ds, th = fwd_call(x, ms, gs, bs, mo, bo, pool)
+    def layer_fwd(x, ms, bis, gs, bs, mo, bo, pool):
+        out, ds, th = fwd_call(x, ms, bis, gs, bs, mo, bo, pool)
         return out, (x, ds, ms, gs, bs, mo, pool, th)
 
     def layer_bwd(saved, g):
@@ -942,25 +947,42 @@ def _make_sln_chain_layer(ns: tuple, n_mid: int, n_out: int):
         res = bwd_call(g, x, ds, ms, gs, bs, mo, pool, th)
         dx = res[0]
         dms = tuple(res[1 : 1 + k])
-        dgs = tuple(res[1 + k : 1 + 2 * k])
-        dbs = tuple(res[1 + 2 * k : 1 + 3 * k])
-        dmo, dbo = res[1 + 3 * k : 3 + 3 * k]
-        return dx, dms, dgs, dbs, dmo, dbo.reshape(1, -1), jnp.zeros_like(pool)
+        dbis = tuple(res[1 + k : 1 + 2 * k])
+        dgs = tuple(res[1 + 2 * k : 1 + 3 * k])
+        dbs = tuple(res[1 + 3 * k : 1 + 4 * k])
+        dmo, dbo = res[1 + 4 * k : 3 + 4 * k]
+        return dx, dms, dbis, dgs, dbs, dmo, dbo.reshape(1, -1), jnp.zeros_like(pool)
 
     layer.defvjp(layer_fwd, layer_bwd)
     return layer
 
 
-def fused_sln_chain(x, ms, gammas, betas, m_out, bias_out, pool):
+def fused_sln_chain(x, ms, gammas, betas, m_out, bias_out, pool, biases=None):
     """The decoder tail — k x (upsample+conv+SLN+relu) then conv+tanh+pool —
     as ONE kernel each way. ms: per-stage (K_j, N_j) matrices (upsample
-    folded in, dense_upconv_matrix); gammas/betas: (1, N_j) channel affines
-    tiled over l; m_out: (N_k, n_mid); bias_out: (1, n_mid); pool:
-    (n_mid, n_out)."""
+    folded in, dense_upconv_matrix); biases: per-stage (1, N_j) conv-bias
+    rows (channel bias tiled over l) added pre-norm, or None; gammas/betas:
+    (1, N_j) channel affines tiled over l; m_out: (N_k, n_mid); bias_out:
+    (1, n_mid); pool: (n_mid, n_out).
+
+    The kernel pre-centers each stage matrix column-wise so the matmul
+    output IS the mean-subtracted SLN activation; a conv bias therefore
+    enters as its mean-centered row (bias - mean(bias)) — exact, because
+    center(y@M + b) == y@center(M) + (b - mean(b))."""
     ns = tuple(m.shape[1] for m in ms)
     msc = tuple(m - jnp.mean(m, axis=1, keepdims=True) for m in ms)
+    if biases is None:
+        bisc = tuple(jnp.zeros((1, n), x.dtype) for n in ns)
+    else:
+        # center in f32 (bf16 mean trips lax.div dtype promotion), store in
+        # the activation dtype — the kernel upcasts on load (_ld)
+        bisc = tuple(
+            (b.reshape(1, -1).astype(jnp.float32)
+             - jnp.mean(b.astype(jnp.float32))).astype(x.dtype)
+            for b in biases
+        )
     layer = _make_sln_chain_layer(ns, m_out.shape[1], pool.shape[1])
-    return layer(x, msc, tuple(gammas), tuple(betas), m_out, bias_out, pool)
+    return layer(x, msc, bisc, tuple(gammas), tuple(betas), m_out, bias_out, pool)
 
 
 # ----------------------- fused MLP chain (heads) -----------------------

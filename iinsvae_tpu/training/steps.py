@@ -187,8 +187,23 @@ def make_semi_eval_step(model) -> Callable:
 
 def make_joint_train_step(model) -> Callable:
     """Supervised joint step on EMNet/EMNetLoop (reference train.py:26-156)."""
+    grads_fn = make_joint_grads_fn(model)
 
     def step(state: TrainState, batch: dict, key: jax.Array):
+        grads, metrics, mut = grads_fn(state, batch, key)
+        state = state.apply_gradients(grads)
+        state = state.replace(batch_stats=mut.get("batch_stats", state.batch_stats))
+        return state, metrics
+
+    return step
+
+
+def make_joint_grads_fn(model) -> Callable:
+    """Update-free half of the joint step, shared by the single-device jit
+    step and the shard_map DP step (parallel/shard.py) — mirrors
+    make_semi_grads_fn."""
+
+    def grads_fn(state: TrainState, batch: dict, key: jax.Array):
         cir, err, label = batch["cir"], batch["err"], batch["label"]
         weight = batch.get("weight")
         if weight is None:
@@ -208,13 +223,11 @@ def make_joint_train_step(model) -> Callable:
         (loss, (aux, mut, label_est, err_est)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        state = state.apply_gradients(grads)
-        state = state.replace(batch_stats=mut.get("batch_stats", state.batch_stats))
         metrics = _metrics(err_est, err, label_est, label, weight)
         metrics.update(aux)
-        return state, metrics
+        return grads, metrics, mut
 
-    return step
+    return grads_fn
 
 
 def make_joint_eval_step(model) -> Callable:

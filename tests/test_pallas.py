@@ -259,9 +259,10 @@ def test_fused_sln_chain_matches_composed(rng):
 
     b, l0, c0 = 4, 8, 16
     x = jnp.asarray(rng.normal(size=(b, l0, c0)), jnp.float32)
-    ks, gs, bs, d = [], [], [], c0
+    ks, cbs, gs, bs, d = [], [], [], [], c0
     for j in range(2):
         ks.append(jnp.asarray(rng.normal(size=(5, d, d // 2)) * 0.1, jnp.float32))
+        cbs.append(jnp.asarray(rng.normal(size=(d // 2,)) * 0.3, jnp.float32))
         gs.append(jnp.asarray(rng.uniform(size=(d // 2,)), jnp.float32))
         bs.append(jnp.asarray(rng.normal(size=(d // 2,)) * 0.1, jnp.float32))
         d //= 2
@@ -269,36 +270,42 @@ def test_fused_sln_chain_matches_composed(rng):
     bo = jnp.asarray(rng.normal(size=(1,)), jnp.float32)
     in_dim = 37
 
-    def composed(x, ks, ko):
+    def composed(x, ks, cbs, ko):
         for j in range(2):
             x = upsample_nearest1d(x, 2)
-            x = conv1d(x, ks[j], None, padding=2)
+            x = conv1d(x, ks[j], cbs[j], padding=2)
             x = sample_layer_norm(x, gs[j], bs[j])
             x = jax.nn.relu(x)
         x = jnp.tanh(conv1d(x, ko, bo, padding=3, pad_mode="reflect"))
         return adaptive_avg_pool1d(x, in_dim).reshape(x.shape[0], in_dim)
 
-    def chained(x, ks, ko):
+    def chained(x, ks, cbs, ko):
         l = l0
-        ms, gammas, betas = [], [], []
+        ms, biases, gammas, betas = [], [], [], []
         for j in range(2):
             ms.append(dense_ops.dense_upconv_matrix(ks[j], l, padding=2))
             l *= 2
+            biases.append(jnp.tile(cbs[j], l).reshape(1, -1))
             gammas.append(jnp.tile(gs[j], l).reshape(1, -1))
             betas.append(jnp.tile(bs[j], l).reshape(1, -1))
         m_out = dense_ops.dense_conv_matrix(ko, l, padding=3, pad_mode="reflect")
         pool = adaptive_avg_pool_matrix(l, in_dim)
         return fused_sln_chain(
             x.reshape(x.shape[0], -1), tuple(ms), tuple(gammas), tuple(betas),
-            m_out, jnp.tile(bo, l).reshape(1, -1), pool)
+            m_out, jnp.tile(bo, l).reshape(1, -1), pool, biases=tuple(biases))
 
-    want = composed(x, ks, ko)
-    got = chained(x, ks, ko)
+    want = composed(x, ks, cbs, ko)
+    got = chained(x, ks, cbs, ko)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
-    gw = jax.grad(lambda a, o: composed(x, [a, ks[1]], o).sum())(ks[0], ko)
-    gg = jax.grad(lambda a, o: chained(x, [a, ks[1]], o).sum())(ks[0], ko)
-    np.testing.assert_allclose(gg, gw, rtol=2e-3, atol=2e-4)
+    gw = jax.grad(
+        lambda a, cb, o: composed(x, [a, ks[1]], [cb, cbs[1]], o).sum(),
+        argnums=(0, 1, 2))(ks[0], cbs[0], ko)
+    gg = jax.grad(
+        lambda a, cb, o: chained(x, [a, ks[1]], [cb, cbs[1]], o).sum(),
+        argnums=(0, 1, 2))(ks[0], cbs[0], ko)
+    for a, w in zip(gg, gw):
+        np.testing.assert_allclose(a, w, rtol=2e-3, atol=2e-4)
 
 
 def test_fused_mlp_chain_heads_match_composed(rng):
