@@ -16,7 +16,7 @@ import jax
 import numpy as np
 
 
-def run_variant(tag: str, cfg, epochs: int, batch: int):
+def run_variant(tag: str, cfg, epochs: int, batch: int, run_svm: bool = False):
     from iinsvae_tpu.cli.common import resolve_data, to_batch_dict, init_state
     from iinsvae_tpu.cli.train_semi import build_model
     from iinsvae_tpu.training.loop import pad_to_batches, make_epoch_runner, make_evaluator
@@ -61,6 +61,13 @@ def run_variant(tag: str, cfg, epochs: int, batch: int):
     out = {"variant": tag, "rmse_m": round(rmse, 4),
            "accuracy": round(float(tm["accuracy"]), 4), "epochs": epochs,
            "train_seconds": round(time.time() - t0, 1)}
+    if run_svm:
+        from iinsvae_tpu.baseline.svm import svm_regressor, svm_classifier
+
+        _, _, svm_rmse, _ = svm_regressor(data_train, data_test)
+        svm_acc, _, _ = svm_classifier(data_train, data_test)
+        out["svm_rmse_m"] = round(float(svm_rmse), 4)
+        out["svm_accuracy"] = round(float(svm_acc), 4)
     print(json.dumps(out), flush=True)
     return out
 
@@ -81,6 +88,22 @@ def main():
                 compute_dtype=args.compute_dtype)
     results = []
     which = args.which.split(",")
+    if "flagship" in which:
+        # the canonical conv_type=1 configuration — re-run whenever its
+        # semantics change (round 3: Decoder1d upsample biases added)
+        results.append(run_variant(
+            f"flagship_1d_{args.compute_dtype}", Config(**base),
+            args.epochs, args.batch))
+    if "ewine" in which:
+        # the second dataset axis (VERDICT round-2 item 6): 152-tap eWine
+        # geometry (load_reg_data, reference dataset.py:171-172), NLOS
+        # 2-class env, with the SVM baseline on the same features
+        ew = dict(base)
+        ew.pop("dataset_env")
+        results.append(run_variant(
+            f"ewine_1d_{args.compute_dtype}",
+            Config(dataset_name="ewine", dataset_env="nlos", **ew),
+            args.epochs, args.batch, run_svm=True))
     if "soft" in which:
         results.append(run_variant(
             "soft_restorer", Config(use_soft=True, **base), args.epochs, args.batch))

@@ -100,6 +100,19 @@ def main(argv=None, cfg: Config | None = None):
         f"[Sep-EM test] [accuracy: {accuracy:.6f}] [rmse: {rmse:.6f}] [abs: {abs_err:.6f}]"
     )
 
+    # hard-assignment ablation: err = mnet(cir, argmax_k p(k|cir)) — the
+    # comparison the soft marginalization (reference test.py:282-289) is
+    # meant to beat
+    hard_lab = jnp.asarray(np.argmax(label_est, axis=1), cir.dtype).reshape(-1, 1)
+    err_hard = np.asarray(
+        m_state.apply_fn(
+            {"params": m_state.params, "batch_stats": m_state.batch_stats},
+            cir, hard_lab, train=False,
+        )
+    )
+    rmse_hard = float(np.sqrt(np.mean((err_hard - err_gt) ** 2)))
+    logger.info(f"[Sep-EM hard-assignment] [rmse: {rmse_hard:.6f}]")
+
     res_em = np.abs(err_gt - err_est)
     from iinsvae_tpu.baseline.svm import svm_regressor
 
@@ -110,7 +123,8 @@ def main(argv=None, cfg: Config | None = None):
         [(err_gt, "y"), (res_em, "purple"), (res_svm, "c")],
         ["Original error", "Our method", "SVM"],
     )
-    return {"accuracy": accuracy, "rmse": rmse, "abs": abs_err, "svm_rmse": svm_rmse}
+    return {"accuracy": accuracy, "rmse": rmse, "rmse_hard": rmse_hard,
+            "abs": abs_err, "svm_rmse": svm_rmse}
 
 
 if __name__ == "__main__":

@@ -29,6 +29,17 @@ from iinsvae_tpu.ops.conv import upsample_nearest1d, upsample_nearest2d
 # op sequence, parity oracle). One parameter set drives both.
 _DECODER2D_IMPL = "fast"
 
+# Grouping plan for Decoder1d's fused-chain lowering over its 13-stage stack
+# (in, 3x AdaIN residual blocks of 2 stages, 4 SLN upsample stages, out,
+# pool) — default: the round-2 hand-built grouping (in | blocks | whole
+# tail). Measured per-site via benchmarks/chain_probe.py.
+_DEC1D_PLAN = (1, 2, 2, 2, 6)
+
+
+def set_dec1d_plan(plan) -> None:
+    global _DEC1D_PLAN
+    _DEC1D_PLAN = tuple(plan)
+
 
 def set_decoder2d_impl(impl: str) -> None:
     """Set the DEFAULT lowering for Decoder facades whose ``lowering`` field
@@ -129,12 +140,13 @@ class Decoder1d(nn.Module):
         use_fused = pf.pallas_enabled() and b <= pf.MAX_FUSED_BATCH
 
         if use_fused:
-            x2 = range_code.reshape(b, l0 * self.out_dim)
-            m_in = dense_ops.dense_conv_matrix(in_kernel, l0)
-            x2 = pf.fused_dense_layer(
-                x2, m_in, l_out=l0, c_out=dim, norm="none", act="relu",
-                bias=jnp.tile(in_bias, l0),
-            )
+            from iinsvae_tpu.ops.pallas.chain import Stage, run_plan
+
+            descs = [(
+                Stage(n=l0 * dim, norm="none", act="relu", bias=True),
+                {"m": dense_ops.dense_conv_matrix(in_kernel, l0),
+                 "bias": jnp.tile(in_bias, l0)},
+            )]
             for i in range(self.n_residual):
                 (g1, b1), (g2, b2) = per_block[i]
                 m1 = dense_ops.dense_conv_matrix(
@@ -145,32 +157,45 @@ class Decoder1d(nn.Module):
                     blk_kernels[i][1], l0, padding=1, pad_mode="reflect",
                     centered=True,
                 )
-                # the WHOLE block — conv+AdaIN+relu+conv+AdaIN+skip — in one
-                # kernel each way
-                x2 = pf.fused_adain_res_block(
-                    x2, m1, m2,
-                    jnp.tile(g1, (1, l0)), jnp.tile(b1, (1, l0)),
-                    jnp.tile(g2, (1, l0)), jnp.tile(b2, (1, l0)),
-                    l_out=l0, c_out=dim, centered=True,
-                )
-            # the whole upsample tail — 4x (upsample+conv+SLN+relu) and the
-            # final conv+tanh+pool — is ONE kernel each way (fused_sln_chain)
+                base = len(descs)
+                descs.append((
+                    Stage(n=l0 * dim, norm="in", act="relu", l_out=l0,
+                          c_out=dim, affine="sample"),
+                    {"m": m1, "centered": True,
+                     "gamma": jnp.tile(g1, (1, l0)), "beta": jnp.tile(b1, (1, l0))},
+                ))
+                descs.append((
+                    Stage(n=l0 * dim, norm="in", act="none", l_out=l0,
+                          c_out=dim, affine="sample", res_from=base),
+                    {"m": m2, "centered": True,
+                     "gamma": jnp.tile(g2, (1, l0)), "beta": jnp.tile(b2, (1, l0))},
+                ))
             l = l0
-            ms, biases, gammas, betas = [], [], [], []
             for j in range(self.n_upsample):
-                ms.append(dense_ops.dense_upconv_matrix(up_kernels[j], l, padding=2))
+                m_up = dense_ops.dense_upconv_matrix(up_kernels[j], l, padding=2)
                 l *= 2
-                biases.append(jnp.tile(up_biases[j], l).reshape(1, -1))
-                gammas.append(jnp.tile(up_gammas[j], l).reshape(1, -1))
-                betas.append(jnp.tile(up_betas[j], l).reshape(1, -1))
+                descs.append((
+                    Stage(n=m_up.shape[1], norm="sln", act="relu", bias=True,
+                          affine="chan"),
+                    {"m": m_up,
+                     "bias": jnp.tile(up_biases[j], l).reshape(1, -1),
+                     "gamma": jnp.tile(up_gammas[j], l).reshape(1, -1),
+                     "beta": jnp.tile(up_betas[j], l).reshape(1, -1)},
+                ))
             m_out = dense_ops.dense_conv_matrix(
                 out_kernel, l, padding=3, pad_mode="reflect"
             )
             pool = adaptive_avg_pool_matrix(l, self.in_dim)
-            return pf.fused_sln_chain(
-                x2, tuple(ms), tuple(gammas), tuple(betas),
-                m_out, jnp.tile(out_bias, l).reshape(1, -1), pool,
-                biases=tuple(biases),
+            descs.append((
+                Stage(n=l, norm="none", act="tanh", bias=True),
+                {"m": m_out, "bias": jnp.tile(out_bias, l).reshape(1, -1)},
+            ))
+            descs.append((
+                Stage(n=self.in_dim, norm="none", act="none"),
+                {"m": pool},
+            ))
+            return run_plan(
+                range_code.reshape(b, l0 * self.out_dim), descs, _DEC1D_PLAN
             )
 
         # ---- composed reference path (identical math) ----

@@ -59,11 +59,23 @@ def get_conv2d_expand_impl() -> str:
     return _CONV2D_EXPAND_IMPL
 
 
+# Grouping plan for the 1-D range encoder's fused lowering: sizes of the
+# consecutive fused_chain launches over the 12-stage stack (5 conv+IN+relu,
+# 3 residual blocks of 2 stages each, 1x1 head). Measured per-site
+# (benchmarks/chain_probe.py) against the ~12 MB live-VMEM ceiling.
+_ENC1D_PLAN = (2, 2, 1, 2, 2, 2, 1)
+
+
+def set_enc1d_plan(plan) -> None:
+    global _ENC1D_PLAN
+    _ENC1D_PLAN = tuple(plan)
+
+
 class RangeEncoder1d(nn.Module):
-    """Conv+IN+relu stages run PAIRED on TPU — two stages per Pallas kernel
-    (fused_in_pair), then whole-block residual kernels: 5 conv stages + 3 res
-    blocks + head = 2 + 1 + 3 + 1 launches forward (the step is launch-bound;
-    BASELINE.md round-2 log)."""
+    """The whole stack lowers through the generic fused-chain kernel
+    (ops/pallas/chain.py) under the _ENC1D_PLAN grouping — default: conv
+    stages paired, one kernel per residual block, head separate (the
+    round-2 hand-built grouping, BASELINE.md). Reference models.py:140-176."""
 
     dim: int = 4
     n_residual: int = 3
@@ -74,13 +86,14 @@ class RangeEncoder1d(nn.Module):
     def __call__(self, x):  # (B, L, 1)
         from iinsvae_tpu.ops import dense_conv as dense_ops
         from iinsvae_tpu.ops.pallas import fused as pf
+        from iinsvae_tpu.ops.pallas.chain import Stage, run_plan
         from iinsvae_tpu.models.layers import conv_normal_init, _bias_uniform_init
         from iinsvae_tpu.ops import norms as norm_ops
 
         x = adaptive_avg_pool1d(x, 128)
         b, l_in, _ = x.shape
 
-        # stage list: (kernel, stride, padding, pad_mode, l_out, c_out)
+        # conv stage list: (kernel, stride, padding, pad_mode, l_out, c_out)
         stages = []
         k0 = self.param("in_kernel", conv_normal_init(), (7, 1, self.dim))
         stages.append((k0, 1, 3, "reflect", l_in, self.dim))
@@ -90,46 +103,65 @@ class RangeEncoder1d(nn.Module):
             l //= 2
             dim *= 2
             stages.append((kd, 2, 1, "zero", l, dim))
+        res_kernels = [
+            (
+                self.param(f"res{i}_kernel1", conv_normal_init(), (3, dim, dim)),
+                self.param(f"res{i}_kernel2", conv_normal_init(), (3, dim, dim)),
+            )
+            for i in range(self.n_residual)
+        ]
+        out_kernel = self.param("out_kernel", conv_normal_init(), (1, dim, self.out_dim))
+        out_bias = self.param("out_bias", _bias_uniform_init(dim), (self.out_dim,))
 
         use_fused = pf.pallas_enabled() and b <= pf.MAX_FUSED_BATCH
         if use_fused:
-            x2 = x.reshape(b, l_in)
-            i = 0
-            cur_l, cur_c = l_in, 1
-            while i < len(stages):
-                if i + 1 < len(stages):
-                    (ka, sa, pa, ma, la, ca) = stages[i]
-                    (kb, sb, pb, mb, lb, cb) = stages[i + 1]
-                    m1 = dense_ops.dense_conv_matrix(
-                        ka.astype(x.dtype), cur_l, stride=sa, padding=pa,
-                        pad_mode=ma, centered=True)
-                    m2 = dense_ops.dense_conv_matrix(
-                        kb.astype(x.dtype), la, stride=sb, padding=pb,
-                        pad_mode=mb, centered=True)
-                    x2 = pf.fused_in_pair(
-                        x2, m1, m2, l1=la, c1=ca, l2=lb, c2=cb, centered=True)
-                    cur_l, cur_c = lb, cb
-                    i += 2
-                else:
-                    (ka, sa, pa, ma, la, ca) = stages[i]
-                    m1 = dense_ops.dense_conv_matrix(
-                        ka.astype(x.dtype), cur_l, stride=sa, padding=pa,
-                        pad_mode=ma, centered=True)
-                    x2 = pf.fused_dense_layer(
-                        x2, m1, l_out=la, c_out=ca, norm="in", act="relu",
-                        centered=True)
-                    cur_l, cur_c = la, ca
-                    i += 1
-            x = x2.reshape(b, cur_l, cur_c)
-        else:
-            for (k, s, p, m, _, _) in stages:
-                x = dense_ops.conv1d_dense(x, k, None, stride=s, padding=p,
-                                           pad_mode=m)
-                x = nn.relu(norm_ops.instance_norm(x))
+            descs = []
+            cur_l = l_in
+            for (k, s, p, m, la, ca) in stages:
+                mm = dense_ops.dense_conv_matrix(
+                    k.astype(x.dtype), cur_l, stride=s, padding=p, pad_mode=m,
+                    centered=True)
+                descs.append((
+                    Stage(n=la * ca, norm="in", act="relu", l_out=la, c_out=ca),
+                    {"m": mm, "centered": True},
+                ))
+                cur_l = la
+            for i, (k1, k2) in enumerate(res_kernels):
+                m1 = dense_ops.dense_conv_matrix(
+                    k1.astype(x.dtype), l, padding=1, pad_mode="reflect",
+                    centered=True)
+                m2 = dense_ops.dense_conv_matrix(
+                    k2.astype(x.dtype), l, padding=1, pad_mode="reflect",
+                    centered=True)
+                base = len(descs)
+                descs.append((
+                    Stage(n=l * dim, norm="in", act="relu", l_out=l, c_out=dim),
+                    {"m": m1, "centered": True},
+                ))
+                descs.append((
+                    Stage(n=l * dim, norm="in", act="none", l_out=l, c_out=dim,
+                          res_from=base),
+                    {"m": m2, "centered": True},
+                ))
+            descs.append((
+                Stage(n=l * self.out_dim, norm="none", act="relu", bias=True),
+                {"m": dense_ops.dense_conv_matrix(out_kernel.astype(x.dtype), l),
+                 "bias": jnp.tile(out_bias, l)},
+            ))
+            x2 = run_plan(x.reshape(b, l_in), descs, _ENC1D_PLAN)
+            return x2.reshape(b, l, self.out_dim)
 
-        for _ in range(self.n_residual):
-            x = ResidualBlock1d(dim, norm="in")(x)
-        x = ConvINAct(self.out_dim, 1, norm="none", act="relu")(x)
+        # composed path, identical math
+        for (k, s, p, m, _, _) in stages:
+            x = dense_ops.conv1d_dense(x, k, None, stride=s, padding=p,
+                                       pad_mode=m)
+            x = nn.relu(norm_ops.instance_norm(x))
+        for (k1, k2) in res_kernels:
+            y = dense_ops.conv1d_dense(x, k1, None, padding=1, pad_mode="reflect")
+            y = nn.relu(norm_ops.instance_norm(y))
+            y = dense_ops.conv1d_dense(y, k2, None, padding=1, pad_mode="reflect")
+            x = x + norm_ops.instance_norm(y)
+        x = nn.relu(dense_ops.conv1d_dense(x, out_kernel, out_bias))
         return x  # (B, 128 / 2**n_downsample, out_dim)
 
 
