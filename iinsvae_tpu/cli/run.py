@@ -53,9 +53,13 @@ def main(argv=None, cfg: Config | None = None):
 
     data_train, data_test = resolve_data(cfg)
     train = pad_to_batches(to_batch_dict(data_train, cfg.compute_dtype), cfg.batch_size)
+    steps_per_epoch = train["cir"].shape[0] // cfg.batch_size
 
     model = build_model(cfg)
-    state = init_state(model, cfg)
+    # steps_per_epoch sizes the LambdaLR decay (stepped per OPTIMIZER step);
+    # omitting it made the schedule decay per step instead of per epoch and
+    # (pre-clamp) drove the LR negative mid-run
+    state = init_state(model, cfg, steps_per_epoch=steps_per_epoch)
     if cfg.epoch != 0:
         state = restore_checkpoint(model_path, cfg.epoch, state)
 

@@ -47,8 +47,10 @@ def main(argv=None, cfg: Config | None = None):
         cir_len=cfg.cir_len, num_classes=cfg.num_classes, env_dim=cfg.env_dim,
         filters=cfg.filters, mnet_type=cfg.regressor_type,
     )
-    e_state = init_state(enet, cfg)
-    m_state = init_state(mnet, cfg, extra_input=jnp.zeros((2, 1)))
+    steps_per_epoch = train["cir"].shape[0] // cfg.batch_size
+    e_state = init_state(enet, cfg, steps_per_epoch=steps_per_epoch)
+    m_state = init_state(mnet, cfg, extra_input=jnp.zeros((2, 1)),
+                         steps_per_epoch=steps_per_epoch)
     if cfg.epoch != 0:
         e_state = restore_checkpoint(model_path, cfg.epoch, e_state, tag="ENet")
         m_state = restore_checkpoint(model_path, cfg.epoch, m_state, tag="MNet")

@@ -44,9 +44,11 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple, Optional, Sequence, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from iinsvae_tpu.ops.pallas.fused import (
     _EPS,
@@ -56,6 +58,12 @@ from iinsvae_tpu.ops.pallas.fused import (
     _vmem,
     center_matrix,
 )
+
+# Live-VMEM budget per grid step; chains whose whole-batch working set
+# exceeds this run on a sample-aligned batch grid (weight grads accumulate
+# across the sequential grid steps). The measured sweet spot is ~10-12 MB
+# (ROADMAP 1 — the 26 MB whole-res-tail experiment regressed 13%).
+_VMEM_BUDGET = 12 * 2**20
 
 
 class Stage(NamedTuple):
@@ -176,6 +184,23 @@ def _chain_bwd_kernel(stages, pmus, refs):
     grad_refs = refs[2 + k + n_in + len(pmu_keys) :]
     pmu_map = {key: _ld(r) for key, r in zip(pmu_keys, pmu_refs)}
 
+    # weight/bias/chan-affine grads accumulate across the (sequential)
+    # batch grid; zero them on the first step
+    acc_slots = []
+    for i, st in enumerate(stages):
+        base = _grad_base(stages, i)
+        acc_slots.append(base + 0)
+        if st.bias:
+            acc_slots.append(base + _gi(st, "bias"))
+        if st.affine == "chan":
+            acc_slots.append(base + _gi(st, "gamma"))
+            acc_slots.append(base + _gi(st, "beta"))
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for s in acc_slots:
+            grad_refs[s][:] = jnp.zeros_like(grad_refs[s])
+
     # recompute the y-chain (and stash each stage's pre-act p and affine)
     ys = [_ld(x_ref)]
     ps, affs = [], []
@@ -218,10 +243,10 @@ def _chain_bwd_kernel(stages, pmus, refs):
             d = _ld(d_refs[i])
             yh_n, _ = _norm_fwd(d, st, pmu_map.get((st.l_out, st.c_out)))
             if st.affine == "chan":
-                grad_refs[base + _gi(st, "gamma")][:] = jnp.sum(
+                grad_refs[base + _gi(st, "gamma")][:] += jnp.sum(
                     gyh * yh_n, axis=0, keepdims=True
                 ).astype(grad_refs[base + _gi(st, "gamma")].dtype)
-                grad_refs[base + _gi(st, "beta")][:] = jnp.sum(
+                grad_refs[base + _gi(st, "beta")][:] += jnp.sum(
                     gyh, axis=0, keepdims=True
                 ).astype(grad_refs[base + _gi(st, "beta")].dtype)
             else:  # 'sample'
@@ -234,11 +259,11 @@ def _chain_bwd_kernel(stages, pmus, refs):
             gyh = gyh * affs[i]
         gd = _norm_bwd(gyh, _ld(d_refs[i]), st, pmu_map.get((st.l_out, st.c_out)))
         if st.bias:
-            grad_refs[base + _gi(st, "bias")][:] = jnp.sum(
+            grad_refs[base + _gi(st, "bias")][:] += jnp.sum(
                 gd, axis=0, keepdims=True
             ).astype(grad_refs[base + _gi(st, "bias")].dtype)
         m = _ld(stage_refs[offs[i]])
-        grad_refs[base + 0][:] = jnp.dot(
+        grad_refs[base + 0][:] += jnp.dot(
             ys[i].T, gd, preferred_element_type=jnp.float32
         ).astype(grad_refs[base + 0].dtype)
         gy_prev = jnp.dot(gd, m.T, preferred_element_type=jnp.float32)
@@ -267,41 +292,131 @@ def _grad_base(stages: Sequence[Stage], i: int) -> int:
     return base
 
 
+def _chain_chunk(b: int, stages: Sequence[Stage], mat_bytes: int) -> int:
+    """Batch-chunk size keeping the bwd working set under _VMEM_BUDGET:
+    ~(4k+4) row blocks of (chunk, n_max) f32 plus the stage matrices twice.
+    Whole batch when it fits (grid=1 — the flagship case)."""
+    n_max = max(st.n for st in stages)
+    k = len(stages)
+
+    def live(c):
+        return (4 * k + 4) * c * n_max * 4 + 2 * mat_bytes
+
+    if live(b) <= _VMEM_BUDGET:
+        return b
+    for c in range(min(b, 512), 7, -1):
+        if b % c == 0 and c % 8 == 0 and live(c) <= _VMEM_BUDGET:
+            return c
+    # no aligned divisor fits; fall back to whole batch and let Mosaic spill
+    return b
+
+
+def _row_spec(c, n):
+    return pl.BlockSpec((c, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _full_spec(shape):
+    return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_chain_layer(stages: Tuple[Stage, ...]):
     counts, pmu_keys = _stage_refs(stages)
     n_in = sum(counts)
     k = len(stages)
 
+    def _stage_in_specs(c, flat):
+        """BlockSpecs for the per-stage input refs (m, bias?, gamma?, beta?):
+        'sample' affines are batch rows; everything else is a full block."""
+        specs, o = [], 0
+        for st, cnt in zip(stages, counts):
+            specs.append(_full_spec(flat[o].shape))  # m
+            o += 1
+            if st.bias:
+                specs.append(_full_spec(flat[o].shape))
+                o += 1
+            if st.affine != "none":
+                for _ in range(2):
+                    if st.affine == "sample":
+                        specs.append(_row_spec(c, flat[o].shape[1]))
+                    else:
+                        specs.append(_full_spec(flat[o].shape))
+                    o += 1
+        return specs
+
     def fwd_call(x, flat):
         b = x.shape[0]
-        pmus = tuple(jnp.asarray(_pmu_np(l, c)) for (l, c) in pmu_keys)
+        mat_bytes = sum(int(np.prod(f.shape)) * 4 for f in flat)
+        c = _chain_chunk(b, stages, mat_bytes)
+        grid = (b // c,) if b % c == 0 else (1,)
+        if grid == (1,):
+            c = b
+        pmus = tuple(jnp.asarray(_pmu_np(l, cc)) for (l, cc) in pmu_keys)
         out_shape = (
             [jax.ShapeDtypeStruct((b, stages[-1].n), x.dtype)]
             + [jax.ShapeDtypeStruct((b, st.n), x.dtype) for st in stages]
         )
+        in_specs = (
+            [_row_spec(c, x.shape[1])]
+            + _stage_in_specs(c, flat)
+            + [_full_spec(p.shape) for p in pmus]
+        )
+        out_specs = [_row_spec(c, stages[-1].n)] + [
+            _row_spec(c, st.n) for st in stages
+        ]
         res = pl.pallas_call(
             lambda *refs: _chain_fwd_kernel(stages, pmu_keys, refs),
+            grid=grid,
             out_shape=tuple(out_shape),
-            in_specs=[_vmem()] * (1 + n_in + len(pmu_keys)),
-            out_specs=tuple([_vmem()] * (1 + k)),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
             interpret=_interpret(),
         )(x, *flat, *pmus)
         return res[0], res[1:]
 
     def bwd_call(g, x, ds, flat):
         b = x.shape[0]
-        pmus = tuple(jnp.asarray(_pmu_np(l, c)) for (l, c) in pmu_keys)
-        out_shape = []
-        for st, cnt, arrs in zip(stages, counts, _group(flat, counts)):
-            for a in arrs:
-                out_shape.append(jax.ShapeDtypeStruct(a.shape, a.dtype))
+        mat_bytes = sum(int(np.prod(f.shape)) * 4 for f in flat)
+        c = _chain_chunk(b, stages, mat_bytes)
+        grid = (b // c,) if b % c == 0 else (1,)
+        if grid == (1,):
+            c = b
+        pmus = tuple(jnp.asarray(_pmu_np(l, cc)) for (l, cc) in pmu_keys)
+        out_shape, out_specs = [], []
+        o = 0
+        for st, cnt in zip(stages, counts):
+            out_shape.append(jax.ShapeDtypeStruct(flat[o].shape, flat[o].dtype))
+            out_specs.append(_full_spec(flat[o].shape))  # dm (accumulated)
+            o += 1
+            if st.bias:
+                out_shape.append(jax.ShapeDtypeStruct(flat[o].shape, flat[o].dtype))
+                out_specs.append(_full_spec(flat[o].shape))
+                o += 1
+            if st.affine != "none":
+                for _ in range(2):
+                    out_shape.append(
+                        jax.ShapeDtypeStruct(flat[o].shape, flat[o].dtype)
+                    )
+                    if st.affine == "sample":
+                        out_specs.append(_row_spec(c, flat[o].shape[1]))
+                    else:
+                        out_specs.append(_full_spec(flat[o].shape))
+                    o += 1
         out_shape.append(jax.ShapeDtypeStruct(x.shape, x.dtype))  # dx last
+        out_specs.append(_row_spec(c, x.shape[1]))
+        in_specs = (
+            [_row_spec(c, g.shape[1]), _row_spec(c, x.shape[1])]
+            + [_row_spec(c, st.n) for st in stages]
+            + _stage_in_specs(c, flat)
+            + [_full_spec(p.shape) for p in pmus]
+        )
         res = pl.pallas_call(
             lambda *refs: _chain_bwd_kernel(stages, pmu_keys, refs),
+            grid=grid,
             out_shape=tuple(out_shape),
-            in_specs=[_vmem()] * (2 + k + n_in + len(pmu_keys)),
-            out_specs=tuple([_vmem()] * len(out_shape)),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
             interpret=_interpret(),
         )(g, x, *ds, *flat, *pmus)
         return res

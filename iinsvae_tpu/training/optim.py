@@ -27,7 +27,12 @@ def lambda_lr_schedule(
         factor = 1.0 - jnp.maximum(0.0, epoch + offset - decay_start_epoch) / (
             n_epochs - decay_start_epoch
         )
-        return base_lr * factor
+        # The reference formula is unclamped below zero (models.py:17-25) but
+        # is only ever evaluated for epoch <= n_epochs, where it is >= 0.
+        # Clamp so a mis-sized steps_per_epoch (or training past n_epochs)
+        # degrades to lr=0 instead of NEGATIVE lr = gradient ascent — the
+        # round-3 run.py divergence (BASELINE.md round-3 log).
+        return base_lr * jnp.maximum(factor, 0.0)
 
     return schedule
 

@@ -187,6 +187,51 @@ def test_chain_mlp_leaky_matches_composed(rng):
         np.testing.assert_allclose(a, w, rtol=2e-3, atol=2e-4)
 
 
+def test_chain_batch_grid_matches_whole_batch(rng, monkeypatch):
+    """Large batches run on a sample-aligned batch grid with accumulated
+    weight grads (the run_sep eval-batch-2000 VMEM OOM regression): force
+    chunking via a small budget and check value+grad parity vs whole-batch."""
+    from iinsvae_tpu.ops.pallas import chain as ch
+
+    b, l, c = 32, 8, 64
+    n = l * c
+    x = jnp.asarray(rng.normal(size=(b, n)), jnp.float32)
+    m1 = jnp.asarray(rng.normal(size=(n, n)) * 0.05, jnp.float32)
+    m2 = jnp.asarray(rng.normal(size=(n, n)) * 0.05, jnp.float32)
+    ga = jnp.asarray(rng.normal(size=(b, n)), jnp.float32)
+    be = jnp.asarray(rng.normal(size=(b, n)) * 0.1, jnp.float32)
+    cb = jnp.asarray(rng.normal(size=(1, n)) * 0.1, jnp.float32)
+
+    stages = (
+        Stage(n=n, norm="in", act="relu", l_out=l, c_out=c, affine="sample"),
+        Stage(n=n, norm="sln", act="relu", bias=True, affine="chan"),
+        Stage(n=n, norm="in", act="none", l_out=l, c_out=c, res_from=0),
+    )
+
+    def f(x, m1, m2, ga):
+        return ch.fused_chain(
+            x, stages,
+            [{"m": m1, "gamma": ga, "beta": be},
+             {"m": m2, "bias": cb, "gamma": cb + 1.0, "beta": cb},
+             {"m": m1}],
+        )
+
+    whole = f(x, m1, m2, ga)
+    gw = jax.grad(lambda *a: f(*a).sum(), argnums=(0, 1, 2, 3))(x, m1, m2, ga)
+
+    # live(8) fits, live(32) doesn't -> chunk 8, grid 4
+    mat_bytes = 3 * n * n * 4
+    budget = (4 * 3 + 4) * 8 * n * 4 + 2 * mat_bytes + 1
+    monkeypatch.setattr(ch, "_VMEM_BUDGET", budget)
+    assert ch._chain_chunk(b, stages, mat_bytes) == 8
+    chunked = f(x, m1, m2, ga)
+    gc = jax.grad(lambda *a: f(*a).sum(), argnums=(0, 1, 2, 3))(x, m1, m2, ga)
+
+    np.testing.assert_allclose(chunked, whole, rtol=1e-5, atol=1e-6)
+    for a, w in zip(gc, gw):
+        np.testing.assert_allclose(a, w, rtol=1e-4, atol=1e-5)
+
+
 def test_chain_matches_specialized_kernels(rng):
     """The generic chain reproduces fused_in_pair bit-for-bit-ish on the
     encoder pair shapes (same algebra, same kernel structure)."""

@@ -63,6 +63,10 @@ def test_lambda_lr_schedule_matches_reference():
     assert float(sched(999)) == pytest.approx(1e-4)  # epoch 99
     assert float(sched(3000)) == pytest.approx(1e-4 * (1 - 200 / 400))  # epoch 300
     assert float(sched(4990)) == pytest.approx(1e-4 * (1 - 399 / 400))
+    # past n_epochs the factor clamps at 0 — it must NEVER go negative
+    # (negative lr = gradient ascent; the round-3 run.py divergence)
+    assert float(sched(5000)) == pytest.approx(0.0)
+    assert float(sched(50_000)) == 0.0
 
 
 def test_semi_loss_masking():
