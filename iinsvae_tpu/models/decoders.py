@@ -284,15 +284,31 @@ class Decoder2d(nn.Module):
         b_out = self.param("out_bias", _bias_uniform_init(d * 49), (1,))
 
         if self.lowering == "fast":
+            from iinsvae_tpu.ops.pallas import fused as pf
+            from iinsvae_tpu.ops.pallas import res2d
+
             x = nn.relu(conv_ops.conv2d(range_code, k_in, b_in))
-            xg = cg.identity_field(x)
-            for i, (k1, b1, k2, b2) in enumerate(res):
-                (g1, be1), (g2, be2) = per_block[i]
-                y = cg.conv2d_grouped(xg, k1, b1, padding=1, pad_mode="reflect")
-                y = cg.relu_grouped(cg.adain_grouped(y, g1, be1))
-                y = cg.conv2d_grouped(y, k2, b2, padding=1, pad_mode="reflect")
-                xg = cg.add_grouped(xg, cg.adain_grouped(y, g2, be2))
-            x = xg.expand()
+            bh, hh, wh, ch = x.shape
+            if pf.pallas_enabled() and res2d.applicable(hh, wh, ch, bh):
+                # whole AdaIN residual blocks as one Pallas kernel each way
+                # (ops/pallas/res2d.py); the conv biases b1/b2 are
+                # mean-cancelled by AdaIN (zero grad) exactly as in the
+                # grouped/dense lowerings, so they are not kernel inputs.
+                for i, (k1, b1, k2, b2) in enumerate(res):
+                    (g1, be1), (g2, be2) = per_block[i]
+                    x = res2d.fused_res_block_2d(
+                        x, k1, k2, norm="adain",
+                        gamma1=g1, beta1=be1, gamma2=g2, beta2=be2,
+                    )
+            else:
+                xg = cg.identity_field(x)
+                for i, (k1, b1, k2, b2) in enumerate(res):
+                    (g1, be1), (g2, be2) = per_block[i]
+                    y = cg.conv2d_grouped(xg, k1, b1, padding=1, pad_mode="reflect")
+                    y = cg.relu_grouped(cg.adain_grouped(y, g1, be1))
+                    y = cg.conv2d_grouped(y, k2, b2, padding=1, pad_mode="reflect")
+                    xg = cg.add_grouped(xg, cg.adain_grouped(y, g2, be2))
+                x = xg.expand()
             # SLN+relu stays on XLA: a Pallas per-sample-stats kernel was
             # built and measured 0.19 vs 0.24 ms f/b on the 8x8x128 stage but
             # LOST on the wide stages (1.59 vs 1.13 ms at 64x64x16 — XLA's

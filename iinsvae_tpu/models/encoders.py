@@ -212,6 +212,20 @@ class RangeEncoder2d(nn.Module):
             for kd, bd in down:
                 x = cg.relu_grouped(cg.instance_norm_grouped(
                     cg.conv2d_grouped(x, kd, bd, stride=2, padding=1)))
+            from iinsvae_tpu.ops.pallas import fused as pf
+            from iinsvae_tpu.ops.pallas import res2d
+
+            bh, hh, gh, ch = x.data.shape
+            wh = x.width
+            if pf.pallas_enabled() and res2d.applicable(hh, wh, ch, bh):
+                # expand the grouped field once (exact — a static gather)
+                # and run each IN residual block as one Pallas kernel each
+                # way (ops/pallas/res2d.py); conv biases are mean-cancelled
+                # by IN (zero grad), matching the grouped lowering.
+                xd = x.expand()  # (B, 8, 8, dim)
+                for k1, b1, k2, b2 in res:
+                    xd = res2d.fused_res_block_2d(xd, k1, k2, norm="in")
+                return nn.relu(conv_ops.conv2d(xd, ko, bo))
             for k1, b1, k2, b2 in res:
                 y = cg.conv2d_grouped(x, k1, b1, padding=1, pad_mode="reflect")
                 y = cg.relu_grouped(cg.instance_norm_grouped(y))
