@@ -1,9 +1,15 @@
 #!/usr/bin/env python
-"""A/B the round-3 2-D kernels (res2d, strided_in) against the composed
-grouped lowering. Times the conv_type=2 encoder fwd+bwd and the full semi
-step, scan-amortized (REPS inside one lax.scan per sync; see profile2d.py
-for why). Kernels are disabled by monkeypatching their routing predicates
+"""A/B the res2d whole-block kernels against the composed grouped
+lowering. Times the conv_type=2 encoder fwd+bwd and the full semi step,
+scan-amortized (REPS inside one lax.scan per sync; see profile2d.py for
+why). Kernels are disabled by monkeypatching their routing predicates
 BEFORE any tracing, so each configuration is one fresh process.
+
+Round-3 results (encoder fwd+bwd bf16, batch 500): composed 2.008 ms,
++res2d 1.824 ms. The third kernel this sweep existed to judge — a fused
+grouped stride-2 stage (dense prev/cur/next W3 matmuls, strided_conv
+row-tile style) — measured 2.592 ms and was DELETED; see ROADMAP item 4
+for why it cannot win without im2col inside the kernel.
 """
 
 from __future__ import annotations
@@ -21,7 +27,6 @@ def main():
     ap.add_argument("--batch", type=int, default=500)
     ap.add_argument("--compute_dtype", default="bfloat16")
     ap.add_argument("--no_res2d", action="store_true")
-    ap.add_argument("--no_strided_in", action="store_true")
     ap.add_argument("--full_step", action="store_true")
     args = ap.parse_args()
 
@@ -29,12 +34,10 @@ def main():
     import jax.numpy as jnp
     from jax import lax
 
-    from iinsvae_tpu.ops.pallas import res2d, strided_in
+    from iinsvae_tpu.ops.pallas import res2d
 
     if args.no_res2d:
         res2d.applicable = lambda *a, **k: False
-    if args.no_strided_in:
-        strided_in.try_fused_grouped_down = lambda *a, **k: None
 
     from iinsvae_tpu.models import IInsVAE
     from iinsvae_tpu.models.encoders import Encoder
@@ -59,7 +62,7 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best / REPS
 
-    tag = f"res2d={not args.no_res2d} strided_in={not args.no_strided_in}"
+    tag = f"res2d={not args.no_res2d}"
 
     enc = Encoder(conv_type=2, expand=True, dim=4, style_dim=16)
     evars = enc.init({"params": key}, cir[:2])
