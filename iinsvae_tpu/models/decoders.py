@@ -29,16 +29,29 @@ from iinsvae_tpu.ops.conv import upsample_nearest1d, upsample_nearest2d
 # op sequence, parity oracle). One parameter set drives both.
 _DECODER2D_IMPL = "fast"
 
-# Grouping plan for Decoder1d's fused-chain lowering over its 13-stage stack
-# (in, 3x AdaIN residual blocks of 2 stages, 4 SLN upsample stages, out,
-# pool) — default: the round-2 hand-built grouping (in | blocks | whole
-# tail). Measured per-site via benchmarks/chain_probe.py.
+# Grouping plan for Decoder1d's fused-CHAIN lowering over its 13-stage
+# stack (in, 3x AdaIN residual blocks of 2 stages, 4 SLN upsample stages,
+# out, pool) — default: the round-2 hand-built grouping (in | blocks |
+# whole tail). Measured per-site via benchmarks/chain_probe.py.
 _DEC1D_PLAN = (1, 2, 2, 2, 6)
+
+# Which fused lowering Decoder1d uses on TPU: 'handbuilt' = the round-2
+# specialized kernels (fused_dense_layer / fused_adain_res_block /
+# fused_sln_chain — measured faster, BASELINE.md round-3 log); 'chain' =
+# the generic builder under _DEC1D_PLAN. Same math (parity-tested); read
+# at trace time, not a jit cache key.
+_DEC1D_IMPL = "handbuilt"
 
 
 def set_dec1d_plan(plan) -> None:
     global _DEC1D_PLAN
     _DEC1D_PLAN = tuple(plan)
+
+
+def set_dec1d_impl(impl: str) -> None:
+    global _DEC1D_IMPL
+    assert impl in ("handbuilt", "chain")
+    _DEC1D_IMPL = impl
 
 
 def set_decoder2d_impl(impl: str) -> None:
@@ -138,6 +151,51 @@ class Decoder1d(nn.Module):
         out_bias = self.param("out_bias", _bias_uniform_init(d * 7), (1,))
 
         use_fused = pf.pallas_enabled() and b <= pf.MAX_FUSED_BATCH
+
+        if use_fused and _DEC1D_IMPL == "handbuilt":
+            # round-2 specialized lowering: in-stage one kernel, each AdaIN
+            # residual block one whole-block kernel, the whole upsample tail
+            # + final conv+tanh+pool one kernel (fused_sln_chain) — measured
+            # faster than the generic chain (BASELINE.md round-3 log).
+            x2 = range_code.reshape(b, l0 * self.out_dim)
+            m_in = dense_ops.dense_conv_matrix(in_kernel, l0)
+            x2 = pf.fused_dense_layer(
+                x2, m_in, l_out=l0, c_out=dim, norm="none", act="relu",
+                bias=jnp.tile(in_bias, l0),
+            )
+            for i in range(self.n_residual):
+                (g1, b1), (g2, b2) = per_block[i]
+                m1 = dense_ops.dense_conv_matrix(
+                    blk_kernels[i][0], l0, padding=1, pad_mode="reflect",
+                    centered=True,
+                )
+                m2 = dense_ops.dense_conv_matrix(
+                    blk_kernels[i][1], l0, padding=1, pad_mode="reflect",
+                    centered=True,
+                )
+                x2 = pf.fused_adain_res_block(
+                    x2, m1, m2,
+                    jnp.tile(g1, (1, l0)), jnp.tile(b1, (1, l0)),
+                    jnp.tile(g2, (1, l0)), jnp.tile(b2, (1, l0)),
+                    l_out=l0, c_out=dim, centered=True,
+                )
+            l = l0
+            ms, biases, gammas, betas = [], [], [], []
+            for j in range(self.n_upsample):
+                ms.append(dense_ops.dense_upconv_matrix(up_kernels[j], l, padding=2))
+                l *= 2
+                biases.append(jnp.tile(up_biases[j], l).reshape(1, -1))
+                gammas.append(jnp.tile(up_gammas[j], l).reshape(1, -1))
+                betas.append(jnp.tile(up_betas[j], l).reshape(1, -1))
+            m_out = dense_ops.dense_conv_matrix(
+                out_kernel, l, padding=3, pad_mode="reflect"
+            )
+            pool = adaptive_avg_pool_matrix(l, self.in_dim)
+            return pf.fused_sln_chain(
+                x2, tuple(ms), tuple(gammas), tuple(betas),
+                m_out, jnp.tile(out_bias, l).reshape(1, -1), pool,
+                biases=tuple(biases),
+            )
 
         if use_fused:
             from iinsvae_tpu.ops.pallas.chain import Stage, run_plan

@@ -59,11 +59,20 @@ def get_conv2d_expand_impl() -> str:
     return _CONV2D_EXPAND_IMPL
 
 
-# Grouping plan for the 1-D range encoder's fused lowering: sizes of the
-# consecutive fused_chain launches over the 12-stage stack (5 conv+IN+relu,
-# 3 residual blocks of 2 stages each, 1x1 head). Measured per-site
-# (benchmarks/chain_probe.py) against the ~12 MB live-VMEM ceiling.
+# Grouping plan for the 1-D range encoder's fused-CHAIN lowering: sizes of
+# the consecutive fused_chain launches over the 12-stage stack (5
+# conv+IN+relu, 3 residual blocks of 2 stages each, 1x1 head). Measured
+# per-site (benchmarks/chain_probe.py) against the ~12 MB live-VMEM ceiling.
 _ENC1D_PLAN = (2, 2, 1, 2, 2, 2, 1)
+
+# Which fused lowering RangeEncoder1d uses on TPU. 'handbuilt' = the
+# round-2 specialized kernels (fused_in_pair / fused_res_block /
+# fused_dense_layer — 710k samples/sec on the flagship step); 'chain' =
+# the generic fused-chain builder under _ENC1D_PLAN (669-675k: its VJP
+# saves every pre-norm activation where the specialized kernels save the
+# minimal residual set — BASELINE.md round-3 log). Same math either way
+# (parity-tested); read at trace time, not a jit cache key.
+_ENC1D_IMPL = "handbuilt"
 
 
 def set_enc1d_plan(plan) -> None:
@@ -71,11 +80,19 @@ def set_enc1d_plan(plan) -> None:
     _ENC1D_PLAN = tuple(plan)
 
 
+def set_enc1d_impl(impl: str) -> None:
+    global _ENC1D_IMPL
+    assert impl in ("handbuilt", "chain")
+    _ENC1D_IMPL = impl
+
+
 class RangeEncoder1d(nn.Module):
-    """The whole stack lowers through the generic fused-chain kernel
-    (ops/pallas/chain.py) under the _ENC1D_PLAN grouping — default: conv
-    stages paired, one kernel per residual block, head separate (the
-    round-2 hand-built grouping, BASELINE.md). Reference models.py:140-176."""
+    """On TPU the stack lowers through the specialized round-2 kernels by
+    default (_ENC1D_IMPL='handbuilt': conv stages paired via fused_in_pair,
+    one whole-block kernel per residual block, fused head) or through the
+    generic fused-chain kernel (ops/pallas/chain.py) under the _ENC1D_PLAN
+    grouping ('chain') — same math, see set_enc1d_impl. Reference
+    models.py:140-176."""
 
     dim: int = 4
     n_residual: int = 3
@@ -114,6 +131,52 @@ class RangeEncoder1d(nn.Module):
         out_bias = self.param("out_bias", _bias_uniform_init(dim), (self.out_dim,))
 
         use_fused = pf.pallas_enabled() and b <= pf.MAX_FUSED_BATCH
+        if use_fused and _ENC1D_IMPL == "handbuilt":
+            # round-2 specialized lowering: conv stages PAIRED two per
+            # kernel, each residual block one whole-block kernel, head one
+            # kernel — measured faster than the generic chain (BASELINE.md
+            # round-3 log); identical math to both other paths.
+            x2 = x.reshape(b, l_in)
+            i = 0
+            cur_l = l_in
+            while i < len(stages):
+                if i + 1 < len(stages):
+                    (ka, sa, pa, ma, la, ca) = stages[i]
+                    (kb, sb, pb, mb, lb, cb) = stages[i + 1]
+                    m1 = dense_ops.dense_conv_matrix(
+                        ka.astype(x.dtype), cur_l, stride=sa, padding=pa,
+                        pad_mode=ma, centered=True)
+                    m2 = dense_ops.dense_conv_matrix(
+                        kb.astype(x.dtype), la, stride=sb, padding=pb,
+                        pad_mode=mb, centered=True)
+                    x2 = pf.fused_in_pair(
+                        x2, m1, m2, l1=la, c1=ca, l2=lb, c2=cb, centered=True)
+                    cur_l = lb
+                    i += 2
+                else:
+                    (ka, sa, pa, ma, la, ca) = stages[i]
+                    m1 = dense_ops.dense_conv_matrix(
+                        ka.astype(x.dtype), cur_l, stride=sa, padding=pa,
+                        pad_mode=ma, centered=True)
+                    x2 = pf.fused_dense_layer(
+                        x2, m1, l_out=la, c_out=ca, norm="in", act="relu",
+                        centered=True)
+                    cur_l = la
+                    i += 1
+            for (k1, k2) in res_kernels:
+                m1 = dense_ops.dense_conv_matrix(
+                    k1.astype(x.dtype), l, padding=1, pad_mode="reflect",
+                    centered=True)
+                m2 = dense_ops.dense_conv_matrix(
+                    k2.astype(x.dtype), l, padding=1, pad_mode="reflect",
+                    centered=True)
+                x2 = pf.fused_res_block(x2, m1, m2, l_out=l, c_out=dim,
+                                        centered=True)
+            m_out = dense_ops.dense_conv_matrix(out_kernel.astype(x.dtype), l)
+            x2 = pf.fused_dense_layer(
+                x2, m_out, l_out=l, c_out=self.out_dim, norm="none",
+                act="relu", bias=jnp.tile(out_bias, l))
+            return x2.reshape(b, l, self.out_dim)
         if use_fused:
             descs = []
             cur_l = l_in
