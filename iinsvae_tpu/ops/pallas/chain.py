@@ -32,8 +32,10 @@ Normalization formulation (same algebra as fused.py, parity-tested):
 * 'none' — d (+ bias) passes through.
 
 Backward saves only the pre-norm d_i per stage (plus the chain input) and
-recomputes the y-chain inside the kernel — the same residency/VMEM policy
-as the shipped chain kernels.
+recomputes the y-chain inside the kernel; the recompute loop stashes each
+stage's norm rescale so the reverse pass never re-derives it from d (one
+(B,N)@(N,N) projector matmul per IN stage and one row reduction per SLN
+stage saved — the hand-built kernels' exact matmul count).
 
 Reference stage stacks this lowers: models.py:140-176 (encoder),
 405-471 (decoder), 615-658 / 838-862 (heads).
@@ -104,29 +106,40 @@ def _act_grad(g, p, act):
 
 
 def _norm_fwd(d, st, pmu):
-    """d -> (yh, r); r is the per-element rescale needed by backward."""
+    """d -> (yh, aux); aux is what backward needs to skip recomputing the
+    rescale: r for 'in', (t, s) for 'sln', None for 'none'."""
     if st.norm == "in":
         v = jnp.dot(d * d, pmu, preferred_element_type=jnp.float32)
         r = jax.lax.rsqrt(v + _EPS)
         return d * r, r
     if st.norm == "sln":
         ss = jnp.sum(d * d, axis=1, keepdims=True) / (st.n - 1)
-        t = 1.0 / (jnp.sqrt(ss) + _EPS)
-        return d * t, t
+        s = jnp.sqrt(ss)
+        t = 1.0 / (s + _EPS)
+        return d * t, (t, s)
     return d, None
 
 
-def _norm_bwd(gyh, d, st, pmu):
-    """dL/dd given dL/dyh (recomputes the rescale from d)."""
+def _norm_bwd(gyh, d, st, pmu, aux=None):
+    """dL/dd given dL/dyh. aux: the rescale stashed by _norm_fwd during the
+    backward's recompute loop — reusing it saves one (B,N)@(N,N) projector
+    matmul per IN stage and one row reduction per SLN stage (the ~5% gap
+    vs the hand-built kernels, BASELINE.md round-3 log). Recomputed from d
+    when not given."""
     if st.norm == "in":
-        v = jnp.dot(d * d, pmu, preferred_element_type=jnp.float32)
-        r = jax.lax.rsqrt(v + _EPS)
+        if aux is None:
+            v = jnp.dot(d * d, pmu, preferred_element_type=jnp.float32)
+            aux = jax.lax.rsqrt(v + _EPS)
+        r = aux
         a = gyh * d * (r * r * r)
         return r * gyh - d * jnp.dot(a, pmu, preferred_element_type=jnp.float32)
     if st.norm == "sln":
-        ss = jnp.sum(d * d, axis=1, keepdims=True) / (st.n - 1)
-        s = jnp.sqrt(ss)
-        t = 1.0 / (s + _EPS)
+        if aux is None:
+            ss = jnp.sum(d * d, axis=1, keepdims=True) / (st.n - 1)
+            s = jnp.sqrt(ss)
+            t = 1.0 / (s + _EPS)
+        else:
+            t, s = aux
         gt = jnp.sum(gyh * d, axis=1, keepdims=True)
         gss = gt * (-(t * t)) / (2.0 * s)
         return gyh * t + d * (2.0 * gss / (st.n - 1))
@@ -201,9 +214,13 @@ def _chain_bwd_kernel(stages, pmus, refs):
         for s in acc_slots:
             grad_refs[s][:] = jnp.zeros_like(grad_refs[s])
 
-    # recompute the y-chain (and stash each stage's pre-act p and affine)
+    # recompute the y-chain, stashing each stage's pre-act p, affine gamma,
+    # and the norm rescale aux — the reverse pass reuses the aux instead of
+    # re-deriving the rescale from d (one projector matmul per IN stage /
+    # one row reduction per SLN stage saved; the hand-built kernels'
+    # residency policy, BASELINE.md round-3 log)
     ys = [_ld(x_ref)]
-    ps, affs = [], []
+    ps, affs, auxs = [], [], []
     o = 0
     offs = []  # per-stage ref offsets (m, bias, gamma, beta)
     for st in stages:
@@ -211,7 +228,8 @@ def _chain_bwd_kernel(stages, pmus, refs):
         o += 1 + (1 if st.bias else 0) + (2 if st.affine != "none" else 0)
     for i, st in enumerate(stages):
         d = _ld(d_refs[i])
-        yh, _ = _norm_fwd(d, st, pmu_map.get((st.l_out, st.c_out)))
+        yh, aux = _norm_fwd(d, st, pmu_map.get((st.l_out, st.c_out)))
+        auxs.append(aux)
         oo = offs[i] + 1 + (1 if st.bias else 0)
         if st.affine != "none":
             g_aff, b_aff = _ld(stage_refs[oo]), _ld(stage_refs[oo + 1])
@@ -240,8 +258,15 @@ def _chain_bwd_kernel(stages, pmus, refs):
         oo = offs[i] + 1 + (1 if st.bias else 0)
         base = _grad_base(stages, i)
         if st.affine != "none":
+            # pre-affine normalized value, elementwise from the stashed
+            # rescale — no projector matmul
             d = _ld(d_refs[i])
-            yh_n, _ = _norm_fwd(d, st, pmu_map.get((st.l_out, st.c_out)))
+            if st.norm == "in":
+                yh_n = d * auxs[i]
+            elif st.norm == "sln":
+                yh_n = d * auxs[i][0]
+            else:
+                yh_n = d
             if st.affine == "chan":
                 grad_refs[base + _gi(st, "gamma")][:] += jnp.sum(
                     gyh * yh_n, axis=0, keepdims=True
@@ -257,7 +282,8 @@ def _chain_bwd_kernel(stages, pmus, refs):
                     grad_refs[base + _gi(st, "beta")].dtype
                 )
             gyh = gyh * affs[i]
-        gd = _norm_bwd(gyh, _ld(d_refs[i]), st, pmu_map.get((st.l_out, st.c_out)))
+        gd = _norm_bwd(gyh, _ld(d_refs[i]), st,
+                       pmu_map.get((st.l_out, st.c_out)), aux=auxs[i])
         if st.bias:
             grad_refs[base + _gi(st, "bias")][:] += jnp.sum(
                 gd, axis=0, keepdims=True
@@ -294,13 +320,14 @@ def _grad_base(stages: Sequence[Stage], i: int) -> int:
 
 def _chain_chunk(b: int, stages: Sequence[Stage], mat_bytes: int) -> int:
     """Batch-chunk size keeping the bwd working set under _VMEM_BUDGET:
-    ~(4k+4) row blocks of (chunk, n_max) f32 plus the stage matrices twice.
+    ~(5k+4) row blocks of (chunk, n_max) f32 (the +k: the stashed norm
+    rescales live across the reverse pass) plus the stage matrices twice.
     Whole batch when it fits (grid=1 — the flagship case)."""
     n_max = max(st.n for st in stages)
     k = len(stages)
 
     def live(c):
-        return (4 * k + 4) * c * n_max * 4 + 2 * mat_bytes
+        return (5 * k + 4) * c * n_max * 4 + 2 * mat_bytes
 
     if live(b) <= _VMEM_BUDGET:
         return b

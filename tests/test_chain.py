@@ -219,9 +219,10 @@ def test_chain_batch_grid_matches_whole_batch(rng, monkeypatch):
     whole = f(x, m1, m2, ga)
     gw = jax.grad(lambda *a: f(*a).sum(), argnums=(0, 1, 2, 3))(x, m1, m2, ga)
 
-    # live(8) fits, live(32) doesn't -> chunk 8, grid 4
+    # live(8) fits, live(32) doesn't -> chunk 8, grid 4 (the constant
+    # mirrors _chain_chunk's (5k+4) row-block estimate)
     mat_bytes = 3 * n * n * 4
-    budget = (4 * 3 + 4) * 8 * n * 4 + 2 * mat_bytes + 1
+    budget = (5 * 3 + 4) * 8 * n * 4 + 2 * mat_bytes + 1
     monkeypatch.setattr(ch, "_VMEM_BUDGET", budget)
     assert ch._chain_chunk(b, stages, mat_bytes) == 8
     chunked = f(x, m1, m2, ga)
