@@ -34,6 +34,32 @@ BATCH_SIZE = 500
 TIMED_EPOCHS = 20  # few-dispatch timings under-report on the tunnel; use many
 
 
+def _dead_mans_switch(seconds: float):
+    """The axon tunnel can go down for hours with processes hanging at the
+    dial (CLAUDE.md); a daemon timer hard-exits with a diagnostic JSON line
+    unless disarmed, so a driver running bench.py never hangs forever. The
+    deadline covers tunnel dial + first compile of a new program (~35-60 s
+    + up to ~3 min on this image)."""
+    import os
+    import threading
+
+    def _fire():
+        print(json.dumps({
+            "metric": "semi_train_throughput",
+            "value": 0,
+            "unit": "CIR samples/sec/chip",
+            "vs_baseline": 0,
+            "error": f"device unreachable or compile stalled for {seconds:.0f}s "
+                     "(axon tunnel down?)",
+        }), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(seconds, _fire)
+    t.daemon = True
+    t.start()
+    return t.cancel
+
+
 def main():
     import argparse
 
@@ -51,6 +77,10 @@ def main():
                     choices=["float32", "bfloat16"])
     args = ap.parse_args()
     cdt = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+
+    # armed BEFORE the first device op (the tunnel dial happens lazily at
+    # the first jnp call below); disarmed after the warmup epoch syncs
+    disarm = _dead_mans_switch(600.0)
 
     rng = np.random.default_rng(0)
     data = {
@@ -79,6 +109,7 @@ def main():
     # exact — verified by the 2x-epochs wall-time cross-check (ratio 1.98).
     state, m = run_epoch(state, data, key)
     float(m["loss"])
+    disarm()
 
     t0 = time.perf_counter()
     for e in range(TIMED_EPOCHS):
