@@ -206,9 +206,12 @@ def test_graft_dryrun_reexecs_on_small_platform():
         "assert jax.device_count() == 1; "
         "import __graft_entry__ as g; g.dryrun_multichip(4); print('REEXEC_OK')"
     ).format(r=repo)
+    # ~220 s standalone on this 1-core image, but the subprocess shares the
+    # core with whatever else the suite/driver is running — 600 s flaked
+    # twice under contention (round-3 logs); the margin is deliberate
     out = subprocess.run(
         [sys.executable, "-c", code], env=env, cwd=repo,
-        capture_output=True, text=True, timeout=600,
+        capture_output=True, text=True, timeout=2400,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "REEXEC_OK" in out.stdout
