@@ -1,0 +1,246 @@
+"""Native request-batching serving front (ROADMAP 8 build-out).
+
+``BatchServer`` sits between concurrent per-request clients and ONE
+compute worker driving the jitted forward (serving.py::Predictor): clients
+submit single CIRs and block on their ticket; the worker pulls fixed-size
+batches — full batches immediately, partial batches once the oldest
+request is ``deadline_ms`` old — runs the compute function, and posts
+per-ticket results. The queueing/wakeup plane is native C++
+(runtime_native/iinsvae_batcher.cc, mutex + three condvars, caller-owned
+buffers) with a pure-python fallback so the surface works without a
+toolchain.
+
+The reference has no serving path at all (SURVEY.md §5.8: single process,
+single device, per-batch .cuda()); this is a new-build component.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import threading
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+from iinsvae_tpu.runtime import native as _native
+
+_i64 = ctypes.c_int64
+_p_i64 = ctypes.POINTER(ctypes.c_int64)
+_p_d = ctypes.POINTER(ctypes.c_double)
+
+
+def _load_batcher():
+    lib = _native._load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_batcher_bound"):
+        lib.iins_batcher_create.restype = ctypes.c_void_p
+        lib.iins_batcher_create.argtypes = [_i64, _i64, _i64, ctypes.c_double]
+        lib.iins_batcher_destroy.argtypes = [ctypes.c_void_p]
+        lib.iins_batcher_submit.restype = _i64
+        lib.iins_batcher_submit.argtypes = [ctypes.c_void_p, _p_d]
+        lib.iins_batcher_next_batch.restype = _i64
+        lib.iins_batcher_next_batch.argtypes = [
+            ctypes.c_void_p, _p_d, _p_i64, ctypes.c_double]
+        lib.iins_batcher_post.argtypes = [
+            ctypes.c_void_p, _p_i64, _p_d, _p_i64, _i64]
+        lib.iins_batcher_wait.restype = ctypes.c_int
+        lib.iins_batcher_wait.argtypes = [
+            ctypes.c_void_p, _i64, _p_d, _p_i64, ctypes.c_double]
+        lib.iins_batcher_pending.restype = _i64
+        lib.iins_batcher_pending.argtypes = [ctypes.c_void_p]
+        lib._batcher_bound = True
+    return lib
+
+
+class _PyBatcher:
+    """Fallback with the same contract (condition-variable slot table)."""
+
+    def __init__(self, cir_len, batch_size, max_pending, deadline_ms):
+        self.cir_len, self.batch_size = cir_len, batch_size
+        self.deadline = deadline_ms / 1e3
+        self.max_pending = max_pending
+        self.cv = threading.Condition()
+        self.pending = {}   # ticket -> cir
+        self.done = {}      # ticket -> (err, label)
+        self.next_ticket = 0
+        self.oldest = None
+        self.shutdown = False
+
+    def submit(self, cir):
+        with self.cv:
+            while (len(self.pending) + len(self.done) >= self.max_pending
+                   and not self.shutdown):
+                self.cv.wait()
+            if self.shutdown:
+                return -1
+            t = self.next_ticket
+            self.next_ticket += 1
+            self.pending[t] = np.array(cir, dtype=np.float64)
+            if self.oldest is None:
+                import time
+                self.oldest = time.monotonic()
+            self.cv.notify_all()
+            return t
+
+    def next_batch(self, wait_s):
+        import time
+        with self.cv:
+            overall = time.monotonic() + wait_s
+            while not self.shutdown:
+                if len(self.pending) >= self.batch_size:
+                    break
+                if self.pending:
+                    until = min(self.oldest + self.deadline, overall)
+                    if time.monotonic() >= until:
+                        break
+                    self.cv.wait(until - time.monotonic())
+                else:
+                    if time.monotonic() >= overall:
+                        return [], np.zeros((0, self.cir_len))
+                    self.cv.wait(overall - time.monotonic())
+            if self.shutdown:
+                return None, None
+            ts = sorted(self.pending)[: self.batch_size]
+            cirs = np.stack([self.pending.pop(t) for t in ts])
+            self.oldest = time.monotonic() if self.pending else None
+            return ts, cirs
+
+    def post(self, tickets, err, label):
+        with self.cv:
+            for t, e, c in zip(tickets, err, label):
+                self.done[t] = (float(e), int(c))
+            self.cv.notify_all()
+
+    def wait(self, ticket, wait_s):
+        import time
+        with self.cv:
+            until = time.monotonic() + wait_s
+            while ticket not in self.done and not self.shutdown:
+                left = until - time.monotonic()
+                if left <= 0:
+                    return None
+                self.cv.wait(left)
+            if self.shutdown:
+                return None
+            res = self.done.pop(ticket)
+            self.cv.notify_all()
+            return res
+
+    def stop(self):
+        with self.cv:
+            self.shutdown = True
+            self.cv.notify_all()
+
+
+class BatchServer:
+    """compute_fn: (B, cir_len) float64 -> (err (B,), label (B,)). The
+    worker thread pulls batches from the native plane and posts results;
+    ``submit`` is thread-safe and blocks until this request's result lands.
+    Use as a context manager (``stop()`` joins the worker BEFORE the native
+    handle is destroyed — outstanding waits must finish first)."""
+
+    def __init__(self, compute_fn: Callable, cir_len: int,
+                 batch_size: int = 64, max_pending: int = 1024,
+                 deadline_ms: float = 5.0, prefer_native: bool = True):
+        self.compute_fn = compute_fn
+        self.cir_len, self.batch_size = cir_len, batch_size
+        self._lib = _load_batcher() if prefer_native else None
+        if self._lib is not None:
+            self._h = ctypes.c_void_p(self._lib.iins_batcher_create(
+                cir_len, batch_size, max_pending, ctypes.c_double(deadline_ms)))
+            if not self._h:
+                raise ValueError("iins_batcher_create rejected the config")
+            self._py = None
+        else:
+            self._h = None
+            self._py = _PyBatcher(cir_len, batch_size, max_pending, deadline_ms)
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    @property
+    def native(self) -> bool:
+        return self._h is not None
+
+    def _run(self):
+        bs, L = self.batch_size, self.cir_len
+        cir_buf = np.empty((bs, L), dtype=np.float64)
+        tik_buf = np.empty(bs, dtype=np.int64)
+        while not self._stop.is_set():
+            if self._h is not None:
+                n = self._lib.iins_batcher_next_batch(
+                    self._h, cir_buf.ctypes.data_as(_p_d),
+                    tik_buf.ctypes.data_as(_p_i64), ctypes.c_double(50.0))
+                if n <= 0:
+                    continue
+                ts, cirs = tik_buf[:n].copy(), cir_buf[:n]
+            else:
+                ts, cirs = self._py.next_batch(0.05)
+                if ts is None or not len(ts):
+                    continue
+                ts = np.asarray(ts, dtype=np.int64)
+            err, label = self.compute_fn(cirs)
+            err = np.ascontiguousarray(np.asarray(err, np.float64).reshape(-1))
+            label = np.ascontiguousarray(np.asarray(label, np.int64).reshape(-1))
+            if self._h is not None:
+                self._lib.iins_batcher_post(
+                    self._h, ts.ctypes.data_as(_p_i64),
+                    err.ctypes.data_as(_p_d), label.ctypes.data_as(_p_i64),
+                    len(ts))
+            else:
+                self._py.post(ts, err, label)
+
+    def submit(self, cir: np.ndarray,
+               timeout_s: float = 30.0) -> Optional[Tuple[float, int]]:
+        """One request: (err_est, env_label), or None on timeout."""
+        cir = np.ascontiguousarray(cir, dtype=np.float64).reshape(-1)
+        assert cir.shape[0] == self.cir_len, cir.shape
+        if self._h is not None:
+            t = self._lib.iins_batcher_submit(self._h, cir.ctypes.data_as(_p_d))
+            if t < 0:
+                return None
+            err = ctypes.c_double(0.0)
+            label = _i64(-1)
+            rc = self._lib.iins_batcher_wait(
+                self._h, t, ctypes.byref(err), ctypes.byref(label),
+                ctypes.c_double(timeout_s * 1e3))
+            return (err.value, label.value) if rc == 1 else None
+        t = self._py.submit(cir)
+        if t < 0:
+            return None
+        return self._py.wait(t, timeout_s)
+
+    def pending(self) -> int:
+        if self._h is not None:
+            return int(self._lib.iins_batcher_pending(self._h))
+        with self._py.cv:
+            return len(self._py.pending)
+
+    def stop(self):
+        self._stop.set()
+        if self._py is not None:
+            self._py.stop()
+        self._worker.join(timeout=10.0)
+        if self._h is not None:
+            h, self._h = self._h, None
+            self._lib.iins_batcher_destroy(h)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+
+
+def serve_predictor(predictor, **kw) -> BatchServer:
+    """BatchServer over a serving.Predictor: one jitted forward per pulled
+    batch (padded to the predictor's compiled batch size)."""
+
+    def compute(cirs: np.ndarray):
+        pred = predictor(cirs.astype(np.float32))
+        return pred.err_est.reshape(-1), pred.label.reshape(-1)
+
+    return BatchServer(compute, cir_len=kw.pop("cir_len"),
+                       batch_size=kw.pop("batch_size", predictor.batch_size),
+                       **kw)

@@ -1,0 +1,206 @@
+// Native request-batching plane for the serving path (ROADMAP 8; the
+// TPU-native analogue of a serving front-end's batcher thread).
+//
+// The reference has no serving surface at all (SURVEY.md §5.8 — single
+// process, single device); this is a new-build component: concurrent
+// client threads submit single CIR requests, a worker (the Python loop
+// driving the jitted forward, serving.py::Predictor) pulls fixed-size
+// batches — full batches immediately, partial batches after a deadline —
+// and posts per-ticket results that wake exactly the waiting clients.
+//
+// Zero dependencies beyond libstdc++/pthreads, same contract style as
+// iinsvae_io.cc: plain C ABI, caller-owned buffers, int64 sizes.
+
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <chrono>
+#include <mutex>
+#include <vector>
+
+namespace {
+
+using Clock = std::chrono::steady_clock;
+
+enum SlotState : int { kFree = 0, kPending = 1, kInFlight = 2, kDone = 3 };
+
+struct Slot {
+  int64_t ticket = -1;
+  int state = kFree;
+  std::vector<double> cir;   // request payload (cir_len)
+  double err = 0.0;          // posted results
+  int64_t label = -1;
+};
+
+struct Batcher {
+  int64_t cir_len;
+  int64_t batch_size;
+  int64_t max_pending;       // slot-table capacity
+  double deadline_ms;        // partial-batch flush deadline
+
+  std::mutex mu;
+  std::condition_variable pending_cv;  // worker waits: a batch is ready
+  std::condition_variable done_cv;     // clients wait: results posted
+  std::condition_variable space_cv;    // submitters wait: a slot freed
+  std::vector<Slot> slots;
+  int64_t next_ticket = 0;
+  int64_t n_pending = 0;     // slots in kPending
+  bool shutdown = false;
+  Clock::time_point oldest_pending;  // arrival of the oldest kPending
+
+  explicit Batcher(int64_t len, int64_t bs, int64_t cap, double dl_ms)
+      : cir_len(len), batch_size(bs), max_pending(cap), deadline_ms(dl_ms),
+        slots(static_cast<size_t>(cap)) {
+    for (auto& s : slots) s.cir.resize(static_cast<size_t>(len));
+  }
+
+  Slot* find(int64_t ticket) {
+    Slot& s = slots[static_cast<size_t>(ticket % max_pending)];
+    return s.ticket == ticket ? &s : nullptr;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* iins_batcher_create(int64_t cir_len, int64_t batch_size,
+                          int64_t max_pending, double deadline_ms) {
+  if (cir_len <= 0 || batch_size <= 0 || max_pending < batch_size)
+    return nullptr;
+  return new Batcher(cir_len, batch_size, max_pending, deadline_ms);
+}
+
+void iins_batcher_destroy(void* h) {
+  auto* b = static_cast<Batcher*>(h);
+  if (!b) return;
+  {
+    std::lock_guard<std::mutex> lk(b->mu);
+    b->shutdown = true;
+  }
+  b->pending_cv.notify_all();
+  b->done_cv.notify_all();
+  b->space_cv.notify_all();
+  delete b;
+}
+
+// Submit ONE request. Blocks while the slot table is full (natural
+// back-pressure); returns the ticket, or -1 on shutdown.
+int64_t iins_batcher_submit(void* h, const double* cir) {
+  auto* b = static_cast<Batcher*>(h);
+  std::unique_lock<std::mutex> lk(b->mu);
+  for (;;) {
+    if (b->shutdown) return -1;
+    int64_t t = b->next_ticket;
+    Slot& s = b->slots[static_cast<size_t>(t % b->max_pending)];
+    if (s.state == kFree) {
+      s.ticket = t;
+      s.state = kPending;
+      std::memcpy(s.cir.data(), cir,
+                  sizeof(double) * static_cast<size_t>(b->cir_len));
+      b->next_ticket = t + 1;
+      if (b->n_pending == 0) b->oldest_pending = Clock::now();
+      ++b->n_pending;
+      if (b->n_pending >= b->batch_size) b->pending_cv.notify_one();
+      return t;
+    }
+    b->space_cv.wait(lk);
+  }
+}
+
+// Worker: pull up to batch_size pending requests. Returns immediately with
+// a FULL batch when available; otherwise waits until the oldest pending
+// request is deadline_ms old (or wait_ms elapses) and returns what exists.
+// cir_out: (batch_size, cir_len) caller buffer; tickets_out: batch_size.
+// Returns the count (0 = nothing pending within wait_ms), -1 on shutdown.
+int64_t iins_batcher_next_batch(void* h, double* cir_out, int64_t* tickets_out,
+                                double wait_ms) {
+  auto* b = static_cast<Batcher*>(h);
+  std::unique_lock<std::mutex> lk(b->mu);
+  auto overall = Clock::now() + std::chrono::duration<double, std::milli>(wait_ms);
+  for (;;) {
+    if (b->shutdown) return -1;
+    if (b->n_pending >= b->batch_size) break;
+    if (b->n_pending > 0) {
+      auto flush_at = b->oldest_pending +
+          std::chrono::duration<double, std::milli>(b->deadline_ms);
+      auto until = flush_at < overall ? flush_at : overall;
+      if (Clock::now() >= until) break;  // deadline: take the partial batch
+      b->pending_cv.wait_until(lk, until);
+    } else {
+      if (Clock::now() >= overall) return 0;
+      b->pending_cv.wait_until(lk, overall);
+    }
+  }
+  int64_t n = 0;
+  // oldest-first: scan tickets upward from the smallest live one
+  int64_t start = b->next_ticket - b->max_pending;
+  if (start < 0) start = 0;
+  for (int64_t t = start; t < b->next_ticket && n < b->batch_size; ++t) {
+    Slot* s = b->find(t);
+    if (s && s->state == kPending) {
+      std::memcpy(cir_out + n * b->cir_len, s->cir.data(),
+                  sizeof(double) * static_cast<size_t>(b->cir_len));
+      tickets_out[n] = t;
+      s->state = kInFlight;
+      --b->n_pending;
+      ++n;
+    }
+  }
+  // reset the deadline clock for whatever pending requests remain
+  if (b->n_pending > 0) b->oldest_pending = Clock::now();
+  return n;
+}
+
+// Worker: post results for a pulled batch; wakes the waiting clients.
+void iins_batcher_post(void* h, const int64_t* tickets, const double* err,
+                       const int64_t* label, int64_t n) {
+  auto* b = static_cast<Batcher*>(h);
+  {
+    std::lock_guard<std::mutex> lk(b->mu);
+    for (int64_t i = 0; i < n; ++i) {
+      Slot* s = b->find(tickets[i]);
+      if (s && s->state == kInFlight) {
+        s->err = err[i];
+        s->label = label[i];
+        s->state = kDone;
+      }
+    }
+  }
+  b->done_cv.notify_all();
+}
+
+// Client: block until the ticket's results are posted (or wait_ms passes).
+// Returns 1 on success (err/label filled, slot freed), 0 on timeout,
+// -1 on shutdown/unknown ticket.
+int iins_batcher_wait(void* h, int64_t ticket, double* err, int64_t* label,
+                      double wait_ms) {
+  auto* b = static_cast<Batcher*>(h);
+  std::unique_lock<std::mutex> lk(b->mu);
+  auto until = Clock::now() + std::chrono::duration<double, std::milli>(wait_ms);
+  for (;;) {
+    if (b->shutdown) return -1;
+    Slot* s = b->find(ticket);
+    if (!s) return -1;
+    if (s->state == kDone) {
+      *err = s->err;
+      *label = s->label;
+      s->state = kFree;
+      s->ticket = -1;
+      b->space_cv.notify_one();
+      return 1;
+    }
+    if (b->done_cv.wait_until(lk, until) == std::cv_status::timeout &&
+        Clock::now() >= until)
+      return 0;
+  }
+}
+
+// Observability: current pending count (approximate outside the lock).
+int64_t iins_batcher_pending(void* h) {
+  auto* b = static_cast<Batcher*>(h);
+  std::lock_guard<std::mutex> lk(b->mu);
+  return b->n_pending;
+}
+
+}  // extern "C"

@@ -1,0 +1,100 @@
+"""Native request-batching serving front (runtime/batcher.py +
+runtime_native/iinsvae_batcher.cc). The compute is a deterministic
+function of the CIR so every concurrent client can verify that ITS result
+came back on ITS ticket."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from iinsvae_tpu.runtime.batcher import BatchServer, _load_batcher
+
+L = 16
+
+
+def _compute(cirs: np.ndarray):
+    # deterministic per-request signature: err = mean, label = round(row[0])
+    return cirs.mean(axis=1), np.round(cirs[:, 0]).astype(np.int64)
+
+
+def _exercise(server: BatchServer, n_clients: int = 32):
+    rng = np.random.default_rng(0)
+    cirs = rng.normal(size=(n_clients, L))
+    cirs[:, 0] = rng.integers(0, 5, n_clients)
+    results = [None] * n_clients
+
+    def client(i):
+        results[i] = server.submit(cirs[i])
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(n_clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(n_clients):
+        assert results[i] is not None, f"client {i} timed out"
+        err, label = results[i]
+        np.testing.assert_allclose(err, cirs[i].mean(), rtol=1e-12)
+        assert label == int(round(cirs[i, 0]))
+
+
+@pytest.mark.parametrize("prefer_native", [True, False])
+def test_concurrent_clients_get_their_own_results(prefer_native):
+    with BatchServer(_compute, cir_len=L, batch_size=8,
+                     deadline_ms=5.0, prefer_native=prefer_native) as srv:
+        if prefer_native:
+            assert srv.native, "native plane failed to build/load"
+        _exercise(srv)
+
+
+def test_partial_batch_flushes_on_deadline():
+    # a single request (< batch_size) must still come back, via the
+    # deadline flush — and quickly
+    import time
+    with BatchServer(_compute, cir_len=L, batch_size=64,
+                     deadline_ms=20.0) as srv:
+        x = np.full(L, 2.0)
+        t0 = time.monotonic()
+        out = srv.submit(x, timeout_s=10.0)
+        dt = time.monotonic() - t0
+        assert out is not None
+        np.testing.assert_allclose(out[0], 2.0)
+        assert out[1] == 2
+        assert dt < 5.0, f"deadline flush took {dt:.2f}s"
+
+
+def test_sequential_reuse_and_backpressure():
+    # more requests than max_pending exercises slot reuse + back-pressure
+    with BatchServer(_compute, cir_len=L, batch_size=4,
+                     max_pending=8, deadline_ms=2.0) as srv:
+        for wave in range(4):
+            _exercise(srv, n_clients=16)
+
+
+def test_serve_predictor_integration():
+    from iinsvae_tpu.models import IInsVAE
+    from iinsvae_tpu.serving import Predictor
+    from iinsvae_tpu.runtime.batcher import serve_predictor
+    from iinsvae_tpu.training.optim import make_optimizer
+    from iinsvae_tpu.training.state import create_train_state
+
+    import jax
+    import jax.numpy as jnp
+
+    model = IInsVAE(cir_len=157, num_classes=5, style_dim=16)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.ones((2, 157)))
+    state = create_train_state(
+        model, variables, make_optimizer(n_epochs=2, decay_start_epoch=1))
+    pred = Predictor(model, state, batch_size=8)
+
+    rng = np.random.default_rng(1)
+    cirs = rng.normal(size=(8, 157)).astype(np.float32)
+    want = pred(cirs)  # oracle: the same forward, batch path
+
+    with serve_predictor(pred, cir_len=157, deadline_ms=10.0) as srv:
+        got = [srv.submit(cirs[i], timeout_s=120.0) for i in range(8)]
+    for i, out in enumerate(got):
+        assert out is not None
+        np.testing.assert_allclose(out[0], want.err_est[i, 0], atol=1e-5)
+        assert out[1] == int(want.label[i])
