@@ -233,6 +233,67 @@ class BatchServer:
         self.stop()
 
 
+class SocketFront:
+    """Unix-socket listener in front of a NATIVE BatchServer
+    (runtime_native/iinsvae_server.cc): external clients connect to
+    ``sock_path`` and speak the framed protocol ([int64 n][n x cir_len
+    f64] -> n x [f64 err, int64 label]); their rows share batches with
+    in-process submits. Requires the native plane (no python fallback —
+    the fallback serving path is BatchServer.submit in-process)."""
+
+    def __init__(self, server: BatchServer, sock_path: str):
+        if not server.native:
+            raise RuntimeError("SocketFront requires the native batcher plane")
+        lib = server._lib
+        if not hasattr(lib, "_server_bound"):
+            lib.iins_server_start.restype = ctypes.c_void_p
+            lib.iins_server_start.argtypes = [
+                ctypes.c_void_p, ctypes.c_char_p, _i64]
+            lib.iins_server_stop.argtypes = [ctypes.c_void_p]
+            lib._server_bound = True
+        self._lib = lib
+        self.sock_path = sock_path
+        self._h = ctypes.c_void_p(lib.iins_server_start(
+            server._h, sock_path.encode(), server.cir_len))
+        if not self._h:
+            raise OSError(f"iins_server_start failed on {sock_path}")
+
+    def stop(self):
+        if self._h:
+            h, self._h = self._h, None
+            self._lib.iins_server_stop(h)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+
+
+def socket_client_request(sock_path: str, cirs: np.ndarray,
+                          timeout_s: float = 60.0):
+    """Client half of the SocketFront protocol: (n, L) CIRs ->
+    (err (n,), label (n,)). One connection per call."""
+    import socket
+    import struct
+
+    cirs = np.ascontiguousarray(cirs, dtype=np.float64)
+    n = cirs.shape[0]
+    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+        s.settimeout(timeout_s)
+        s.connect(sock_path)
+        s.sendall(struct.pack("<q", n) + cirs.tobytes())
+        want = n * 16
+        buf = b""
+        while len(buf) < want:
+            chunk = s.recv(want - len(buf))
+            if not chunk:
+                raise IOError("server closed mid-response")
+            buf += chunk
+    rec = np.frombuffer(buf, dtype=[("err", "<f8"), ("label", "<i8")])
+    return rec["err"].copy(), rec["label"].copy()
+
+
 def serve_predictor(predictor, **kw) -> BatchServer:
     """BatchServer over a serving.Predictor: one jitted forward per pulled
     batch (padded to the predictor's compiled batch size)."""

@@ -72,6 +72,38 @@ def test_sequential_reuse_and_backpressure():
             _exercise(srv, n_clients=16)
 
 
+def test_socket_front_end_to_end(tmp_path):
+    from iinsvae_tpu.runtime.batcher import SocketFront, socket_client_request
+
+    sock = str(tmp_path / "iins.sock")
+    with BatchServer(_compute, cir_len=L, batch_size=8,
+                     deadline_ms=5.0) as srv:
+        if not srv.native:
+            pytest.skip("native plane unavailable")
+        with SocketFront(srv, sock):
+            outs = [None] * 6
+
+            def client(i):
+                cirs = np.random.default_rng(3 + i).normal(size=(4, L)) + i
+                cirs[:, 0] = i
+                err, label = socket_client_request(sock, cirs)
+                outs[i] = (cirs, err, label)
+
+            threads = [threading.Thread(target=client, args=(i,))
+                       for i in range(6)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            for i, (cirs, err, label) in enumerate(outs):
+                np.testing.assert_allclose(err, cirs.mean(axis=1), rtol=1e-12)
+                assert (label == i).all()
+            # in-process submits keep working alongside socket traffic
+            x = np.full(L, 3.0)
+            out = srv.submit(x)
+            assert out is not None and out[1] == 3
+
+
 def test_serve_predictor_integration():
     from iinsvae_tpu.models import IInsVAE
     from iinsvae_tpu.serving import Predictor
