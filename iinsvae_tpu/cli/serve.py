@@ -1,0 +1,76 @@
+"""`serve` entry: the deployment surface of the framework (new-build —
+the reference has no serving path, SURVEY.md §5.8).
+
+Loads a trained semi-path checkpoint into a ``serving.Predictor`` (one
+fixed-shape jitted forward) and fronts it with the native request batcher
+and, optionally, the unix-socket listener — external clients then speak
+the framed protocol (``runtime/batcher.py::socket_client_request``) and
+share batches with in-process traffic.
+
+    python serve.py --dataset_env room_full --epoch 400 \
+        --socket /tmp/iins.sock --serve_batch 256 --deadline_ms 3
+
+Without --socket it runs a self-test loop (N random requests through the
+full stack) and exits — the smoke mode the CLI tests drive.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from iinsvae_tpu.config import Config, parse
+
+
+def main(argv=None, cfg: Config | None = None):
+    import argparse
+
+    extra = argparse.ArgumentParser(add_help=False)
+    extra.add_argument("--socket", default="", help="unix socket path; empty = self-test mode")
+    extra.add_argument("--serve_batch", type=int, default=256)
+    extra.add_argument("--deadline_ms", type=float, default=3.0)
+    extra.add_argument("--selftest_n", type=int, default=64)
+    ns, rest = extra.parse_known_args(argv)
+    cfg = cfg or parse(rest)
+
+    from iinsvae_tpu.serving import Predictor
+    from iinsvae_tpu.runtime.batcher import BatchServer, SocketFront, serve_predictor
+
+    predictor = Predictor.from_checkpoint(cfg, epoch=cfg.epoch if cfg.epoch > 0 else None,
+                                          batch_size=ns.serve_batch)
+    server = serve_predictor(predictor, cir_len=cfg.cir_len,
+                             batch_size=ns.serve_batch,
+                             deadline_ms=ns.deadline_ms)
+    plane = "native" if server.native else "python-fallback"
+    print(f"[serve] predictor ready (cir_len={cfg.cir_len}, "
+          f"batch={ns.serve_batch}, plane={plane})", flush=True)
+
+    try:
+        if ns.socket:
+            with SocketFront(server, ns.socket):
+                print(f"[serve] listening on {ns.socket} — Ctrl-C to stop",
+                      flush=True)
+                try:
+                    while True:
+                        time.sleep(3600)
+                except KeyboardInterrupt:
+                    pass
+        else:
+            rng = np.random.default_rng(0)
+            cirs = rng.normal(size=(ns.selftest_n, cfg.cir_len))
+            t0 = time.perf_counter()
+            outs = [server.submit(cirs[i], timeout_s=300.0)
+                    for i in range(ns.selftest_n)]
+            dt = time.perf_counter() - t0
+            assert all(o is not None for o in outs), "self-test request lost"
+            errs = np.array([o[0] for o in outs])
+            print(f"[serve] self-test ok: {ns.selftest_n} requests in "
+                  f"{dt:.2f}s, err range ({errs.min():.4f}, {errs.max():.4f})",
+                  flush=True)
+    finally:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

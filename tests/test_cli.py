@@ -161,3 +161,15 @@ def test_run_sep_main(tmp_path):
     assert os.path.isfile(
         os.path.join(result_path, "CDF_zenodo_room_full_sepEM.png")
     )
+
+
+def test_serve_main_selftest(semi_run, capsys):
+    """`serve.py` self-test mode: checkpoint -> Predictor -> native batch
+    server -> N concurrent-path requests, end to end."""
+    from iinsvae_tpu.cli.serve import main
+
+    tmp, _, _ = semi_run
+    main(argv=["--selftest_n", "16", "--serve_batch", "8",
+               "--deadline_ms", "2"] + _argv(tmp))
+    out = capsys.readouterr().out
+    assert "self-test ok: 16 requests" in out
