@@ -72,6 +72,21 @@ def test_enc1d_impls_agree():
     _assert_trees_close(g_h, g_d, atol=1e-3)
 
 
+def test_enc1d_impls_agree_bf16():
+    # the flagship --compute_dtype bfloat16 option drives the same
+    # lowerings at bf16 inputs; parity band widened for bf16 rounding
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((8, 157, 1)), jnp.bfloat16)
+    enc_mod.set_enc1d_impl("handbuilt")
+    out_h, g_h = _enc_out_and_grad(x)
+    enc_mod.set_enc1d_impl("chain")
+    out_c, g_c = _enc_out_and_grad(x)
+    _assert_trees_close(
+        jax.tree_util.tree_map(lambda t: t.astype(jnp.float32), out_h),
+        jax.tree_util.tree_map(lambda t: t.astype(jnp.float32), out_c),
+        atol=5e-2)
+
+
 def test_dec1d_impls_agree():
     rng = np.random.default_rng(1)
     rc = jnp.asarray(rng.standard_normal((8, 8, 2)), jnp.float32)
