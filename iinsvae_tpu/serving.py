@@ -129,3 +129,67 @@ class Predictor:
         """Error-mitigated distance: d_measured - err_est."""
         pred = self(cir)
         return np.asarray(d_measured).reshape(-1, 1) - pred.err_est
+
+    def export_serving(self, path: str) -> None:
+        """AOT deployment artifact: the jitted forward serialized as
+        StableHLO (jax.export) + the weights as a flat .npz — reloadable
+        by ``load_serving`` WITHOUT the model code. Platform-specific
+        (export on the platform that will serve: TPU artifacts embed the
+        Mosaic kernels, CPU artifacts the interpret lowering)."""
+        import os
+
+        from flax.traverse_util import flatten_dict
+        from jax import export as jexport
+
+        os.makedirs(path, exist_ok=True)
+        var_specs = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
+            self._variables,
+        )
+        cir_spec = jax.ShapeDtypeStruct(
+            (self.batch_size, int(self.model.cir_len)), jnp.float32)
+        exp = jexport.export(self._apply)(var_specs, cir_spec)
+        with open(os.path.join(path, "forward.jaxexport"), "wb") as f:
+            f.write(exp.serialize())
+        # keep_empty_nodes: empty collections (e.g. batch_stats on Linear
+        # heads) are part of the exported pytree structure and must survive
+        # the npz round trip — marked with a sentinel suffix
+        from flax.traverse_util import empty_node
+
+        flat = {}
+        for k, v in flatten_dict(self._variables, keep_empty_nodes=True).items():
+            key = "/".join(map(str, k))
+            if v is empty_node:
+                flat[key + "/__empty__"] = np.zeros(0)
+            else:
+                flat[key] = np.asarray(v)
+        np.savez(os.path.join(path, "weights.npz"), **flat)
+
+
+def load_serving(path: str):
+    """Reload an ``export_serving`` artifact: returns ``fn(cir (B, L)) ->
+    (err_est, label_probs, env_code[, recon])`` with B fixed to the
+    exported batch size. Needs only jax + the artifact — no model code."""
+    import os
+
+    from flax.traverse_util import unflatten_dict
+    from jax import export as jexport
+
+    from flax.traverse_util import empty_node
+
+    with open(os.path.join(path, "forward.jaxexport"), "rb") as f:
+        exp = jexport.deserialize(f.read())
+    with np.load(os.path.join(path, "weights.npz")) as z:
+        flat = {}
+        for k in z.files:
+            parts = tuple(k.split("/"))
+            if parts[-1] == "__empty__":
+                flat[parts[:-1]] = empty_node
+            else:
+                flat[parts] = jnp.asarray(z[k])
+        variables = unflatten_dict(flat)
+
+    def fn(cir: np.ndarray):
+        return exp.call(variables, jnp.asarray(cir, jnp.float32))
+
+    return fn

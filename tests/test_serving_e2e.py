@@ -91,3 +91,33 @@ def test_ewine_end_to_end_pipeline(ewine_dir):
     step = jax.jit(make_semi_train_step(model, 1.0))
     state, m = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_export_serving_roundtrip(tmp_path):
+    """AOT deployment artifact: export the jitted forward as StableHLO +
+    weights, reload WITHOUT model code, and match the live Predictor."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from iinsvae_tpu.models import IInsVAE
+    from iinsvae_tpu.serving import Predictor, load_serving
+    from iinsvae_tpu.training.optim import make_optimizer
+    from iinsvae_tpu.training.state import create_train_state
+
+    model = IInsVAE(cir_len=157, num_classes=5, style_dim=16)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.ones((2, 157)))
+    state = create_train_state(
+        model, variables, make_optimizer(n_epochs=2, decay_start_epoch=1))
+    pred = Predictor(model, state, batch_size=8)
+
+    art = str(tmp_path / "serving_artifact")
+    pred.export_serving(art)
+
+    fn = load_serving(art)
+    cirs = np.random.default_rng(0).normal(size=(8, 157)).astype(np.float32)
+    err, probs, env_code = fn(cirs)
+    want = pred(cirs)
+    np.testing.assert_allclose(np.asarray(err), want.err_est, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(probs), want.label_probs, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(env_code), want.env_code, atol=1e-5)
