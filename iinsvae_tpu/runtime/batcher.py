@@ -71,6 +71,12 @@ class _PyBatcher:
         with self.cv:
             while (len(self.pending) + len(self.done) >= self.max_pending
                    and not self.shutdown):
+                if self.done:
+                    # reclaim the oldest uncollected result (its client
+                    # timed out) rather than deadlocking the ring — same
+                    # policy as the native plane
+                    self.done.pop(min(self.done))
+                    break
                 self.cv.wait()
             if self.shutdown:
                 return -1

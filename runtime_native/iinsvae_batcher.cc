@@ -93,6 +93,13 @@ int64_t iins_batcher_submit(void* h, const double* cir) {
     if (b->shutdown) return -1;
     int64_t t = b->next_ticket;
     Slot& s = b->slots[static_cast<size_t>(t % b->max_pending)];
+    if (s.state == kDone) {
+      // the owning client timed out and never collected — reclaim the
+      // slot (its result is dropped) so abandoned waits can't leak the
+      // ring into a permanent submit deadlock
+      s.state = kFree;
+      s.ticket = -1;
+    }
     if (s.state == kFree) {
       s.ticket = t;
       s.state = kPending;
