@@ -302,12 +302,16 @@ def socket_client_request(sock_path: str, cirs: np.ndarray,
 
 def serve_predictor(predictor, **kw) -> BatchServer:
     """BatchServer over a serving.Predictor: one jitted forward per pulled
-    batch (padded to the predictor's compiled batch size)."""
+    batch (padded to the predictor's compiled batch size). cir_len
+    defaults to the predictor's model geometry."""
 
     def compute(cirs: np.ndarray):
         pred = predictor(cirs.astype(np.float32))
         return pred.err_est.reshape(-1), pred.label.reshape(-1)
 
-    return BatchServer(compute, cir_len=kw.pop("cir_len"),
+    cir_len = kw.pop("cir_len", None)
+    if cir_len is None:
+        cir_len = int(predictor.model.cir_len)
+    return BatchServer(compute, cir_len=cir_len,
                        batch_size=kw.pop("batch_size", predictor.batch_size),
                        **kw)
