@@ -22,7 +22,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=500)
     ap.add_argument("--compute_dtype", default="float32")
+    ap.add_argument("--no_phase_sln", action="store_true",
+                    help="A/B: disable the fused channels-first upsample "
+                         "stage kernel (ops/pallas/phase_sln.py)")
     args = ap.parse_args()
+
+    if args.no_phase_sln:
+        from iinsvae_tpu.ops.pallas import phase_sln
+        phase_sln.set_enabled(False)
 
     import jax
     import jax.numpy as jnp

@@ -367,23 +367,41 @@ class Decoder2d(nn.Module):
                     y = cg.conv2d_grouped(y, k2, b2, padding=1, pad_mode="reflect")
                     xg = cg.add_grouped(xg, cg.adain_grouped(y, g2, be2))
                 x = xg.expand()
-            # SLN+relu stays on XLA: a Pallas per-sample-stats kernel was
-            # built and measured 0.19 vs 0.24 ms f/b on the 8x8x128 stage but
-            # LOST on the wide stages (1.59 vs 1.13 ms at 64x64x16 — XLA's
-            # fused lowering already streams near HBM bandwidth there), and
-            # its 8/16/32-row grids forced batch padding; net neutral, so
-            # the simpler lowering wins.
+            # Upsample stages: once the field fills whole 128-lane tiles
+            # (H*W >= 128), each conv+SLN+relu runs as ONE channels-first
+            # Pallas kernel (ops/pallas/phase_sln.py) — the conv->SLN HBM
+            # round trip is gone (a STANDALONE Pallas SLN was measured and
+            # rejected in round 2: XLA's own SLN already streams at
+            # bandwidth; only fusion with the conv producer wins). The 8x8
+            # entry stage (64 lanes) stays on the XLA phase-conv path.
+            from iinsvae_tpu.ops.pallas import phase_sln
+
+            cf = False  # channels-first from the first applicable stage on
             for k_up, b_up, gamma, beta in ups:
-                z = sp.upsample_conv5_phase(x, k_up, b_up)
-                z = sample_layer_norm(z, jnp.tile(gamma, 4), jnp.tile(beta, 4))
-                x = sp.pixel_shuffle2(nn.relu(z))
+                if pf.pallas_enabled() and not cf:
+                    b0, h0, w0, c0_ = x.shape
+                    if phase_sln.applicable(h0, w0, c0_, b0):
+                        x = x.transpose(0, 3, 1, 2)  # -> (B, C, H, W)
+                        cf = True
+                if cf:
+                    z = phase_sln.fused_upsample_sln(x, k_up, b_up, gamma, beta)
+                    x = phase_sln.pixel_shuffle2_cf(z)
+                else:
+                    z = sp.upsample_conv5_phase(x, k_up, b_up)
+                    z = sample_layer_norm(z, jnp.tile(gamma, 4), jnp.tile(beta, 4))
+                    x = sp.pixel_shuffle2(nn.relu(z))
             # final 7x7 reflect conv + (in_dim, in_dim) pool, column 0 only:
             # W-pool output column 0 averages exactly input column 0 (window
             # [0, ceil(W/in_dim)) = [0,1) since in_dim > W), and conv column
             # 0 reads reflect-padded columns [3,2,1,0,1,2,3].
-            b_sz, h, w, c = x.shape
             cols = jnp.asarray([3, 2, 1, 0, 1, 2, 3], jnp.int32)
-            xcols = jnp.take(x, cols, axis=2)  # (B, H, 7, C)
+            if cf:
+                b_sz, c, h, w = x.shape
+                xcols = jnp.take(x, cols, axis=3)  # (B, C, H, 7)
+                xcols = xcols.transpose(0, 2, 3, 1)  # (B, H, 7, C)
+            else:
+                b_sz, h, w, c = x.shape
+                xcols = jnp.take(x, cols, axis=2)  # (B, H, 7, C)
             k1d = k_out.reshape(7, 7 * c, 1)  # (t_h, (t_w, ci), 1)
             y = conv_ops.conv1d(
                 xcols.reshape(b_sz, h, 7 * c), k1d, b_out,
