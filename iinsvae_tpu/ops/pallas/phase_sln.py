@@ -319,9 +319,20 @@ def _make_stage(h: int, w: int, ci: int, co4: int):
     return stage
 
 
-# A/B toggle (benchmarks/profile2d.py --no_phase_sln): read at trace time,
-# not a jit cache key — set before tracing.
-_ENABLED = True
+# A/B toggle (benchmarks/profile2d.py --no_phase_sln flips it OFF, or
+# set_enabled(True) to opt IN): read at trace time, not a jit cache key —
+# set before tracing.
+#
+# DEFAULT OFF — measured REJECTION (round 3, v5e, batch 500 bf16,
+# benchmarks/profile2d.py A/B): decoder fwd+bwd 13.45 ms with this kernel
+# vs 5.07 ms on the XLA path (full semi step 15.3 vs 7.05 ms). The
+# channels-first per-sample grid serializes the batch (500 sequential
+# programs over small (C, H*W) blocks), and the 9 masked-roll tap dots are
+# each too small to fill the MXU — XLA's fused phase-conv lowering
+# (45-140 TF/s isolated probes, BASELINE.md) plus its streamed SLN wins
+# decisively. Kept selectable + parity-tested (tests/test_phase_sln.py)
+# as the documented negative result for ROADMAP item 3b.
+_ENABLED = False
 
 
 def set_enabled(on: bool) -> None:
