@@ -377,7 +377,7 @@ class Decoder2d(nn.Module):
             from iinsvae_tpu.ops.pallas import phase_sln
 
             cf = False  # channels-first from the first applicable stage on
-            for k_up, b_up, gamma, beta in ups:
+            for j, (k_up, b_up, gamma, beta) in enumerate(ups):
                 if pf.pallas_enabled() and not cf:
                     b0, h0, w0, c0_ = x.shape
                     if phase_sln.applicable(h0, w0, c0_, b0):
@@ -388,7 +388,31 @@ class Decoder2d(nn.Module):
                     x = phase_sln.pixel_shuffle2_cf(z)
                 else:
                     z = sp.upsample_conv5_phase(x, k_up, b_up)
-                    z = sample_layer_norm(z, jnp.tile(gamma, 4), jnp.tile(beta, 4))
+                    if j == len(ups) - 1 and x.shape[2] >= 2:
+                        # Last stage: its output feeds ONLY the 7-tap
+                        # reflect gather below, which reads post-shuffle
+                        # columns {0,1,2,3} = pre-shuffle columns {0,1}.
+                        # The whole-tensor SLN stats still need the FULL
+                        # conv output, but normalize/relu/shuffle run on
+                        # the 2-column slice — skipping the full-field
+                        # normalized write + re-read of the widest tensor
+                        # in the decoder ((B, 64, 64, 16) at the flagship
+                        # geometry). Exact: identical ops on the kept
+                        # columns, zero grads through the dropped ones
+                        # (stats coupling is preserved via the full-z
+                        # reduction).
+                        from iinsvae_tpu.ops.norms import (
+                            sample_layer_norm_apply,
+                            sample_layer_norm_stats,
+                        )
+
+                        mean, std = sample_layer_norm_stats(z)
+                        z = sample_layer_norm_apply(
+                            z[:, :, :2, :], mean, std,
+                            jnp.tile(gamma, 4), jnp.tile(beta, 4),
+                        )
+                    else:
+                        z = sample_layer_norm(z, jnp.tile(gamma, 4), jnp.tile(beta, 4))
                     x = sp.pixel_shuffle2(nn.relu(z))
             # final 7x7 reflect conv + (in_dim, in_dim) pool, column 0 only:
             # W-pool output column 0 averages exactly input column 0 (window

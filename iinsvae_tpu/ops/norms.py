@@ -47,6 +47,37 @@ def adain(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray, eps: float = 1e
     return y * gamma.reshape(shape).astype(y.dtype) + beta.reshape(shape).astype(y.dtype)
 
 
+def sample_layer_norm_stats(x: jnp.ndarray):
+    """Per-sample whole-tensor (mean, unbiased std) of the reference's
+    custom LayerNorm (models.py:965-985). Split out so a consumer that
+    keeps only a SLICE of the normalized tensor can still take the stats
+    over the FULL tensor (the fast 2-D decoder's last upsample stage)."""
+    b = x.shape[0]
+    flat = x.reshape(b, -1)
+    mean = jnp.mean(flat, axis=1)
+    n = flat.shape[1]
+    var = jnp.var(flat, axis=1) * (n / (n - 1))  # unbiased, torch .std(1)
+    std = jnp.sqrt(var)
+    return mean, std
+
+
+def sample_layer_norm_apply(
+    x: jnp.ndarray,
+    mean: jnp.ndarray,
+    std: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Normalize x with externally-computed per-sample (mean, std) —
+    denominator (std + eps), per-channel affine. x may be any slice of the
+    tensor the stats were taken over."""
+    bshape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    y = (x - mean.reshape(bshape)) / (std.reshape(bshape) + eps)
+    cshape = (1,) * (x.ndim - 1) + (x.shape[-1],)
+    return y * gamma.reshape(cshape).astype(y.dtype) + beta.reshape(cshape).astype(y.dtype)
+
+
 def sample_layer_norm(
     x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray, eps: float = 1e-5
 ) -> jnp.ndarray:
@@ -55,13 +86,5 @@ def sample_layer_norm(
     Per-sample mean/std over ALL non-batch axes, unbiased std, and the
     denominator is (std + eps). gamma, beta: (C,) per-channel affine.
     """
-    b = x.shape[0]
-    flat = x.reshape(b, -1)
-    mean = jnp.mean(flat, axis=1)
-    n = flat.shape[1]
-    var = jnp.var(flat, axis=1) * (n / (n - 1))  # unbiased, torch .std(1)
-    std = jnp.sqrt(var)
-    bshape = (b,) + (1,) * (x.ndim - 1)
-    y = (x - mean.reshape(bshape)) / (std.reshape(bshape) + eps)
-    cshape = (1,) * (x.ndim - 1) + (x.shape[-1],)
-    return y * gamma.reshape(cshape).astype(y.dtype) + beta.reshape(cshape).astype(y.dtype)
+    mean, std = sample_layer_norm_stats(x)
+    return sample_layer_norm_apply(x, mean, std, gamma, beta, eps)
