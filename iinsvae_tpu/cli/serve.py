@@ -28,6 +28,12 @@ def main(argv=None, cfg: Config | None = None):
 
     extra = argparse.ArgumentParser(add_help=False)
     extra.add_argument("--socket", default="", help="unix socket path; empty = self-test mode")
+    extra.add_argument("--tcp_port", type=int, default=-1,
+                       help="TCP listen port (0 = ephemeral); -1 = no TCP front")
+    extra.add_argument("--probs", action="store_true",
+                       help="append env-class probabilities to every result")
+    extra.add_argument("--recon", action="store_true",
+                       help="append the reconstructed CIR to every result")
     extra.add_argument("--serve_batch", type=int, default=256)
     extra.add_argument("--deadline_ms", type=float, default=3.0)
     extra.add_argument("--selftest_n", type=int, default=64)
@@ -35,27 +41,41 @@ def main(argv=None, cfg: Config | None = None):
     cfg = cfg or parse(rest)
 
     from iinsvae_tpu.serving import Predictor
-    from iinsvae_tpu.runtime.batcher import BatchServer, SocketFront, serve_predictor
+    from iinsvae_tpu.runtime.batcher import (
+        BatchServer, SocketFront, TcpFront, serve_predictor,
+    )
 
     predictor = Predictor.from_checkpoint(cfg, epoch=cfg.epoch if cfg.epoch > 0 else None,
-                                          batch_size=ns.serve_batch)
+                                          batch_size=ns.serve_batch,
+                                          return_recon=ns.recon)
     server = serve_predictor(predictor, cir_len=cfg.cir_len,
                              batch_size=ns.serve_batch,
-                             deadline_ms=ns.deadline_ms)
+                             deadline_ms=ns.deadline_ms,
+                             with_probs=ns.probs, with_recon=ns.recon)
     plane = "native" if server.native else "python-fallback"
     print(f"[serve] predictor ready (cir_len={cfg.cir_len}, "
-          f"batch={ns.serve_batch}, plane={plane})", flush=True)
+          f"batch={ns.serve_batch}, plane={plane}, "
+          f"payload=err,label+{server.n_extra})", flush=True)
 
     try:
-        if ns.socket:
-            with SocketFront(server, ns.socket):
-                print(f"[serve] listening on {ns.socket} — Ctrl-C to stop",
-                      flush=True)
-                try:
-                    while True:
-                        time.sleep(3600)
-                except KeyboardInterrupt:
-                    pass
+        if ns.socket or ns.tcp_port >= 0:
+            fronts = []
+            if ns.socket:
+                fronts.append(SocketFront(server, ns.socket))
+                print(f"[serve] listening on {ns.socket}", flush=True)
+            if ns.tcp_port >= 0:
+                tcp = TcpFront(server, ns.tcp_port)
+                fronts.append(tcp)
+                print(f"[serve] listening on tcp port {tcp.port}", flush=True)
+            print("[serve] Ctrl-C to stop", flush=True)
+            try:
+                while True:
+                    time.sleep(3600)
+            except KeyboardInterrupt:
+                pass
+            finally:
+                for f in fronts:
+                    f.stop()
         else:
             rng = np.random.default_rng(0)
             cirs = rng.normal(size=(ns.selftest_n, cfg.cir_len))

@@ -35,7 +35,8 @@ def _load_batcher():
         return None
     if not hasattr(lib, "_batcher_bound"):
         lib.iins_batcher_create.restype = ctypes.c_void_p
-        lib.iins_batcher_create.argtypes = [_i64, _i64, _i64, ctypes.c_double]
+        lib.iins_batcher_create.argtypes = [
+            _i64, _i64, _i64, _i64, ctypes.c_double]
         lib.iins_batcher_destroy.argtypes = [ctypes.c_void_p]
         lib.iins_batcher_submit.restype = _i64
         lib.iins_batcher_submit.argtypes = [ctypes.c_void_p, _p_d]
@@ -43,12 +44,14 @@ def _load_batcher():
         lib.iins_batcher_next_batch.argtypes = [
             ctypes.c_void_p, _p_d, _p_i64, ctypes.c_double]
         lib.iins_batcher_post.argtypes = [
-            ctypes.c_void_p, _p_i64, _p_d, _p_i64, _i64]
+            ctypes.c_void_p, _p_i64, _p_d, _p_i64, _p_d, _i64]
         lib.iins_batcher_wait.restype = ctypes.c_int
         lib.iins_batcher_wait.argtypes = [
-            ctypes.c_void_p, _i64, _p_d, _p_i64, ctypes.c_double]
+            ctypes.c_void_p, _i64, _p_d, _p_i64, _p_d, ctypes.c_double]
         lib.iins_batcher_pending.restype = _i64
         lib.iins_batcher_pending.argtypes = [ctypes.c_void_p]
+        lib.iins_batcher_n_extra.restype = _i64
+        lib.iins_batcher_n_extra.argtypes = [ctypes.c_void_p]
         lib._batcher_bound = True
     return lib
 
@@ -112,10 +115,13 @@ class _PyBatcher:
             self.oldest = time.monotonic() if self.pending else None
             return ts, cirs
 
-    def post(self, tickets, err, label):
+    def post(self, tickets, err, label, extra=None):
         with self.cv:
-            for t, e, c in zip(tickets, err, label):
-                self.done[t] = (float(e), int(c))
+            for i, (t, e, c) in enumerate(zip(tickets, err, label)):
+                if extra is None:
+                    self.done[t] = (float(e), int(c))
+                else:
+                    self.done[t] = (float(e), int(c), np.array(extra[i]))
             self.cv.notify_all()
 
     def wait(self, ticket, wait_s):
@@ -140,7 +146,9 @@ class _PyBatcher:
 
 
 class BatchServer:
-    """compute_fn: (B, cir_len) float64 -> (err (B,), label (B,)). The
+    """compute_fn: (B, cir_len) float64 -> (err (B,), label (B,)) — or,
+    with ``n_extra > 0``, (err (B,), label (B,), extra (B, n_extra)) for a
+    richer payload (env-class probabilities, reconstructed CIR, ...). The
     worker thread pulls batches from the native plane and posts results;
     ``submit`` is thread-safe and blocks until this request's result lands.
     Use as a context manager (``stop()`` joins the worker BEFORE the native
@@ -148,13 +156,16 @@ class BatchServer:
 
     def __init__(self, compute_fn: Callable, cir_len: int,
                  batch_size: int = 64, max_pending: int = 1024,
-                 deadline_ms: float = 5.0, prefer_native: bool = True):
+                 deadline_ms: float = 5.0, prefer_native: bool = True,
+                 n_extra: int = 0):
         self.compute_fn = compute_fn
         self.cir_len, self.batch_size = cir_len, batch_size
+        self.n_extra = n_extra
         self._lib = _load_batcher() if prefer_native else None
         if self._lib is not None:
             self._h = ctypes.c_void_p(self._lib.iins_batcher_create(
-                cir_len, batch_size, max_pending, ctypes.c_double(deadline_ms)))
+                cir_len, n_extra, batch_size, max_pending,
+                ctypes.c_double(deadline_ms)))
             if not self._h:
                 raise ValueError("iins_batcher_create rejected the config")
             self._py = None
@@ -186,20 +197,26 @@ class BatchServer:
                 if ts is None or not len(ts):
                     continue
                 ts = np.asarray(ts, dtype=np.int64)
-            err, label = self.compute_fn(cirs)
+            out = self.compute_fn(cirs)
+            err, label = out[0], out[1]
             err = np.ascontiguousarray(np.asarray(err, np.float64).reshape(-1))
             label = np.ascontiguousarray(np.asarray(label, np.int64).reshape(-1))
+            extra = None
+            if self.n_extra:
+                extra = np.ascontiguousarray(
+                    np.asarray(out[2], np.float64).reshape(len(ts), self.n_extra))
             if self._h is not None:
                 self._lib.iins_batcher_post(
                     self._h, ts.ctypes.data_as(_p_i64),
                     err.ctypes.data_as(_p_d), label.ctypes.data_as(_p_i64),
+                    extra.ctypes.data_as(_p_d) if extra is not None else None,
                     len(ts))
             else:
-                self._py.post(ts, err, label)
+                self._py.post(ts, err, label, extra)
 
-    def submit(self, cir: np.ndarray,
-               timeout_s: float = 30.0) -> Optional[Tuple[float, int]]:
-        """One request: (err_est, env_label), or None on timeout."""
+    def submit(self, cir: np.ndarray, timeout_s: float = 30.0):
+        """One request: (err_est, env_label) — plus the (n_extra,) payload
+        row as a third element when n_extra > 0 — or None on timeout."""
         cir = np.ascontiguousarray(cir, dtype=np.float64).reshape(-1)
         assert cir.shape[0] == self.cir_len, cir.shape
         if self._h is not None:
@@ -208,10 +225,16 @@ class BatchServer:
                 return None
             err = ctypes.c_double(0.0)
             label = _i64(-1)
+            extra = np.zeros(self.n_extra, dtype=np.float64)
             rc = self._lib.iins_batcher_wait(
                 self._h, t, ctypes.byref(err), ctypes.byref(label),
+                extra.ctypes.data_as(_p_d) if self.n_extra else None,
                 ctypes.c_double(timeout_s * 1e3))
-            return (err.value, label.value) if rc == 1 else None
+            if rc != 1:
+                return None
+            if self.n_extra:
+                return (err.value, label.value, extra)
+            return (err.value, label.value)
         t = self._py.submit(cir)
         if t < 0:
             return None
@@ -239,27 +262,36 @@ class BatchServer:
         self.stop()
 
 
+def _bind_server(lib):
+    if not hasattr(lib, "_server_bound"):
+        lib.iins_server_start.restype = ctypes.c_void_p
+        lib.iins_server_start.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, _i64]
+        lib.iins_server_start_tcp.restype = ctypes.c_void_p
+        lib.iins_server_start_tcp.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, _i64]
+        lib.iins_server_port.restype = ctypes.c_int32
+        lib.iins_server_port.argtypes = [ctypes.c_void_p]
+        lib.iins_server_stop.argtypes = [ctypes.c_void_p]
+        lib._server_bound = True
+    return lib
+
+
 class SocketFront:
     """Unix-socket listener in front of a NATIVE BatchServer
     (runtime_native/iinsvae_server.cc): external clients connect to
     ``sock_path`` and speak the framed protocol ([int64 n][n x cir_len
-    f64] -> n x [f64 err, int64 label]); their rows share batches with
-    in-process submits. Requires the native plane (no python fallback —
-    the fallback serving path is BatchServer.submit in-process)."""
+    f64] -> n x [f64 err, int64 label, n_extra f64]); their rows share
+    batches with in-process submits. Requires the native plane (no python
+    fallback — the fallback serving path is BatchServer.submit
+    in-process)."""
 
     def __init__(self, server: BatchServer, sock_path: str):
         if not server.native:
             raise RuntimeError("SocketFront requires the native batcher plane")
-        lib = server._lib
-        if not hasattr(lib, "_server_bound"):
-            lib.iins_server_start.restype = ctypes.c_void_p
-            lib.iins_server_start.argtypes = [
-                ctypes.c_void_p, ctypes.c_char_p, _i64]
-            lib.iins_server_stop.argtypes = [ctypes.c_void_p]
-            lib._server_bound = True
-        self._lib = lib
+        self._lib = _bind_server(server._lib)
         self.sock_path = sock_path
-        self._h = ctypes.c_void_p(lib.iins_server_start(
+        self._h = ctypes.c_void_p(self._lib.iins_server_start(
             server._h, sock_path.encode(), server.cir_len))
         if not self._h:
             raise OSError(f"iins_server_start failed on {sock_path}")
@@ -276,42 +308,98 @@ class SocketFront:
         self.stop()
 
 
-def socket_client_request(sock_path: str, cirs: np.ndarray,
-                          timeout_s: float = 60.0):
-    """Client half of the SocketFront protocol: (n, L) CIRs ->
-    (err (n,), label (n,)). One connection per call."""
+class TcpFront:
+    """TCP listener with the SocketFront protocol (cross-host serving).
+    port=0 binds an ephemeral port; read the bound one from ``.port``.
+    Binds all interfaces — front with TLS termination for untrusted
+    networks."""
+
+    def __init__(self, server: BatchServer, port: int = 0):
+        if not server.native:
+            raise RuntimeError("TcpFront requires the native batcher plane")
+        self._lib = _bind_server(server._lib)
+        self._h = ctypes.c_void_p(self._lib.iins_server_start_tcp(
+            server._h, port, server.cir_len))
+        if not self._h:
+            raise OSError(f"iins_server_start_tcp failed on port {port}")
+        self.port = int(self._lib.iins_server_port(self._h))
+
+    def stop(self):
+        if self._h:
+            h, self._h = self._h, None
+            self._lib.iins_server_stop(h)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+
+
+def socket_client_request(addr, cirs: np.ndarray, timeout_s: float = 60.0,
+                          n_extra: int = 0):
+    """Client half of the listener protocol: (n, L) CIRs ->
+    (err (n,), label (n,)) — plus extra (n, n_extra) when the server was
+    built with a richer payload. ``addr``: a unix-socket path (str) or a
+    (host, port) tuple for a TcpFront. One connection per call."""
     import socket
     import struct
 
     cirs = np.ascontiguousarray(cirs, dtype=np.float64)
     n = cirs.shape[0]
-    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+    family = socket.AF_UNIX if isinstance(addr, str) else socket.AF_INET
+    with socket.socket(family, socket.SOCK_STREAM) as s:
         s.settimeout(timeout_s)
-        s.connect(sock_path)
+        s.connect(addr)
         s.sendall(struct.pack("<q", n) + cirs.tobytes())
-        want = n * 16
+        want = n * (16 + 8 * n_extra)
         buf = b""
         while len(buf) < want:
             chunk = s.recv(want - len(buf))
             if not chunk:
                 raise IOError("server closed mid-response")
             buf += chunk
-    rec = np.frombuffer(buf, dtype=[("err", "<f8"), ("label", "<i8")])
+    rec = np.frombuffer(buf, dtype=[("err", "<f8"), ("label", "<i8"),
+                                    ("extra", "<f8", (n_extra,))])
+    if n_extra:
+        return rec["err"].copy(), rec["label"].copy(), rec["extra"].copy()
     return rec["err"].copy(), rec["label"].copy()
 
 
-def serve_predictor(predictor, **kw) -> BatchServer:
+def serve_predictor(predictor, with_probs: bool = False,
+                    with_recon: bool = False, **kw) -> BatchServer:
     """BatchServer over a serving.Predictor: one jitted forward per pulled
     batch (padded to the predictor's compiled batch size). cir_len
-    defaults to the predictor's model geometry."""
+    defaults to the predictor's model geometry.
 
-    def compute(cirs: np.ndarray):
-        pred = predictor(cirs.astype(np.float32))
-        return pred.err_est.reshape(-1), pred.label.reshape(-1)
+    with_probs appends the env-class probabilities to every result;
+    with_recon appends the reconstructed CIR (requires a Predictor built
+    with return_recon=True). The result row is then
+    (err, label, [probs…][recon…])."""
 
     cir_len = kw.pop("cir_len", None)
     if cir_len is None:
         cir_len = int(predictor.model.cir_len)
+    n_extra = 0
+    if with_probs:
+        n_extra += int(predictor.model.num_classes)
+    if with_recon:
+        if not predictor.return_recon:
+            raise ValueError("with_recon needs Predictor(return_recon=True)")
+        n_extra += cir_len
+
+    def compute(cirs: np.ndarray):
+        pred = predictor(cirs.astype(np.float32))
+        err, label = pred.err_est.reshape(-1), pred.label.reshape(-1)
+        if not n_extra:
+            return err, label
+        parts = []
+        if with_probs:
+            parts.append(pred.label_probs)
+        if with_recon:
+            parts.append(pred.recon)
+        return err, label, np.concatenate(parts, axis=1)
+
     return BatchServer(compute, cir_len=cir_len,
                        batch_size=kw.pop("batch_size", predictor.batch_size),
-                       **kw)
+                       n_extra=n_extra, **kw)

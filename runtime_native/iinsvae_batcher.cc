@@ -30,10 +30,13 @@ struct Slot {
   std::vector<double> cir;   // request payload (cir_len)
   double err = 0.0;          // posted results
   int64_t label = -1;
+  std::vector<double> extra; // optional richer payload (n_extra doubles:
+                             // env-class probabilities, reconstruction, ...)
 };
 
 struct Batcher {
   int64_t cir_len;
+  int64_t n_extra;           // doubles per result beyond (err, label)
   int64_t batch_size;
   int64_t max_pending;       // slot-table capacity
   double deadline_ms;        // partial-batch flush deadline
@@ -48,10 +51,14 @@ struct Batcher {
   bool shutdown = false;
   Clock::time_point oldest_pending;  // arrival of the oldest kPending
 
-  explicit Batcher(int64_t len, int64_t bs, int64_t cap, double dl_ms)
-      : cir_len(len), batch_size(bs), max_pending(cap), deadline_ms(dl_ms),
-        slots(static_cast<size_t>(cap)) {
-    for (auto& s : slots) s.cir.resize(static_cast<size_t>(len));
+  explicit Batcher(int64_t len, int64_t nx, int64_t bs, int64_t cap,
+                   double dl_ms)
+      : cir_len(len), n_extra(nx), batch_size(bs), max_pending(cap),
+        deadline_ms(dl_ms), slots(static_cast<size_t>(cap)) {
+    for (auto& s : slots) {
+      s.cir.resize(static_cast<size_t>(len));
+      s.extra.resize(static_cast<size_t>(nx));
+    }
   }
 
   Slot* find(int64_t ticket) {
@@ -64,11 +71,19 @@ struct Batcher {
 
 extern "C" {
 
-void* iins_batcher_create(int64_t cir_len, int64_t batch_size,
-                          int64_t max_pending, double deadline_ms) {
-  if (cir_len <= 0 || batch_size <= 0 || max_pending < batch_size)
+// n_extra: doubles per result beyond (err, label) — 0 for the basic
+// payload; num_classes for env probabilities; + cir_len for the recon.
+void* iins_batcher_create(int64_t cir_len, int64_t n_extra,
+                          int64_t batch_size, int64_t max_pending,
+                          double deadline_ms) {
+  if (cir_len <= 0 || n_extra < 0 || batch_size <= 0 ||
+      max_pending < batch_size)
     return nullptr;
-  return new Batcher(cir_len, batch_size, max_pending, deadline_ms);
+  return new Batcher(cir_len, n_extra, batch_size, max_pending, deadline_ms);
+}
+
+int64_t iins_batcher_n_extra(void* h) {
+  return static_cast<Batcher*>(h)->n_extra;
 }
 
 void iins_batcher_destroy(void* h) {
@@ -160,8 +175,9 @@ int64_t iins_batcher_next_batch(void* h, double* cir_out, int64_t* tickets_out,
 }
 
 // Worker: post results for a pulled batch; wakes the waiting clients.
+// extra: (n, n_extra) row-major, or nullptr when n_extra == 0.
 void iins_batcher_post(void* h, const int64_t* tickets, const double* err,
-                       const int64_t* label, int64_t n) {
+                       const int64_t* label, const double* extra, int64_t n) {
   auto* b = static_cast<Batcher*>(h);
   {
     std::lock_guard<std::mutex> lk(b->mu);
@@ -170,6 +186,9 @@ void iins_batcher_post(void* h, const int64_t* tickets, const double* err,
       if (s && s->state == kInFlight) {
         s->err = err[i];
         s->label = label[i];
+        if (b->n_extra > 0 && extra)
+          std::memcpy(s->extra.data(), extra + i * b->n_extra,
+                      sizeof(double) * static_cast<size_t>(b->n_extra));
         s->state = kDone;
       }
     }
@@ -178,10 +197,11 @@ void iins_batcher_post(void* h, const int64_t* tickets, const double* err,
 }
 
 // Client: block until the ticket's results are posted (or wait_ms passes).
-// Returns 1 on success (err/label filled, slot freed), 0 on timeout,
-// -1 on shutdown/unknown ticket.
+// Returns 1 on success (err/label/extra filled, slot freed), 0 on timeout,
+// -1 on shutdown/unknown ticket. extra_out: n_extra doubles, or nullptr to
+// drop the richer payload.
 int iins_batcher_wait(void* h, int64_t ticket, double* err, int64_t* label,
-                      double wait_ms) {
+                      double* extra_out, double wait_ms) {
   auto* b = static_cast<Batcher*>(h);
   std::unique_lock<std::mutex> lk(b->mu);
   auto until = Clock::now() + std::chrono::duration<double, std::milli>(wait_ms);
@@ -192,6 +212,9 @@ int iins_batcher_wait(void* h, int64_t ticket, double* err, int64_t* label,
     if (s->state == kDone) {
       *err = s->err;
       *label = s->label;
+      if (b->n_extra > 0 && extra_out)
+        std::memcpy(extra_out, s->extra.data(),
+                    sizeof(double) * static_cast<size_t>(b->n_extra));
       s->state = kFree;
       s->ticket = -1;
       b->space_cv.notify_one();

@@ -1,12 +1,15 @@
-// Unix-domain-socket listener in front of the request batcher
+// Socket listeners (unix-domain and TCP) in front of the request batcher
 // (iinsvae_batcher.cc) — the native IO plane of the serving front.
 //
 // Wire protocol (little-endian, caller = any client):
 //   request:  int64 n, then n * cir_len doubles
-//   response: n * { double err, int64 label }
-// Each row is submitted to the batcher individually, so rows from many
-// connections share batches; the per-connection thread waits on its own
-// tickets and streams the responses back in order.
+//   response: n * { double err, int64 label, n_extra doubles }
+// n_extra is a property of the batcher the listener fronts (0 = basic
+// payload; richer payloads carry env-class probabilities and/or the
+// reconstructed CIR — runtime/batcher.py::serve_predictor). Each row is
+// submitted to the batcher individually, so rows from many connections
+// share batches; the per-connection thread waits on its own tickets and
+// streams the responses back in order.
 //
 // The reference has no network surface at all; this is a new-build
 // component (SURVEY.md §5.8). Zero dependencies beyond pthreads/libc.
@@ -15,6 +18,8 @@
 #include <cstdint>
 #include <cstring>
 #include <mutex>
+#include <netinet/in.h>
+#include <netinet/tcp.h>
 #include <set>
 #include <sys/socket.h>
 #include <sys/un.h>
@@ -25,7 +30,8 @@
 extern "C" {
 int64_t iins_batcher_submit(void* h, const double* cir);
 int iins_batcher_wait(void* h, int64_t ticket, double* err, int64_t* label,
-                      double wait_ms);
+                      double* extra_out, double wait_ms);
+int64_t iins_batcher_n_extra(void* h);
 }
 
 namespace {
@@ -64,6 +70,9 @@ bool write_full(int fd, const void* buf, size_t n) {
 }
 
 void handle_conn(Server* s, int fd) {
+  // per-row responses: defeat Nagle on TCP (harmless no-op on unix fds)
+  int one = 1;
+  setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
   std::vector<double> cir(static_cast<size_t>(s->cir_len));
   while (s->running.load()) {
     int64_t n = 0;
@@ -79,17 +88,22 @@ void handle_conn(Server* s, int fd) {
       }
     }
     if (!ok) break;
+    const int64_t nx = iins_batcher_n_extra(s->batcher);
+    std::vector<double> row(2 + static_cast<size_t>(nx));
     for (int64_t i = 0; i < n; ++i) {
       double err = 0.0;
       int64_t label = -1;
       int rc = iins_batcher_wait(s->batcher, tickets[static_cast<size_t>(i)],
-                                 &err, &label, 60e3);
+                                 &err, &label, row.data() + 2, 60e3);
       if (rc != 1) {
         err = 0.0;
         label = -1;
+        std::memset(row.data() + 2, 0, sizeof(double) * static_cast<size_t>(nx));
       }
-      struct { double e; int64_t l; } resp{err, label};
-      if (!write_full(fd, &resp, sizeof(resp))) { ok = false; break; }
+      row[0] = err;
+      std::memcpy(&row[1], &label, sizeof(int64_t));
+      if (!write_full(fd, row.data(),
+                      sizeof(double) * row.size())) { ok = false; break; }
     }
     if (!ok) break;
   }
@@ -136,6 +150,44 @@ void* iins_server_start(void* batcher, const char* sock_path,
   s->listen_fd = fd;
   s->acceptor = std::thread(accept_loop, s);
   return s;
+}
+
+// TCP listener with the same framed protocol (loopback/LAN clients —
+// cross-host serving). port 0 = ephemeral; read it back with
+// iins_server_port. Binds all interfaces; front with TLS termination
+// (stunnel/envoy) for untrusted networks.
+void* iins_server_start_tcp(void* batcher, int32_t port, int64_t cir_len) {
+  int fd = socket(AF_INET, SOCK_STREAM, 0);
+  if (fd < 0) return nullptr;
+  int one = 1;
+  setsockopt(fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+  sockaddr_in addr{};
+  addr.sin_family = AF_INET;
+  addr.sin_addr.s_addr = htonl(INADDR_ANY);
+  addr.sin_port = htons(static_cast<uint16_t>(port));
+  if (bind(fd, reinterpret_cast<sockaddr*>(&addr), sizeof(addr)) != 0 ||
+      listen(fd, 128) != 0) {
+    close(fd);
+    return nullptr;
+  }
+  auto* s = new Server;
+  s->batcher = batcher;
+  s->cir_len = cir_len;
+  s->listen_fd = fd;
+  s->acceptor = std::thread(accept_loop, s);
+  return s;
+}
+
+// Bound TCP port of a server started with iins_server_start_tcp
+// (resolves port 0 -> the kernel-assigned ephemeral port); -1 on error.
+int32_t iins_server_port(void* h) {
+  auto* s = static_cast<Server*>(h);
+  sockaddr_in addr{};
+  socklen_t len = sizeof(addr);
+  if (getsockname(s->listen_fd, reinterpret_cast<sockaddr*>(&addr), &len) != 0
+      || addr.sin_family != AF_INET)
+    return -1;
+  return static_cast<int32_t>(ntohs(addr.sin_port));
 }
 
 void iins_server_stop(void* h) {

@@ -168,3 +168,103 @@ def test_abandoned_results_are_reclaimed(prefer_native):
         out = srv.submit(np.full(L, 4.0), timeout_s=10.0)
         assert out is not None
         np.testing.assert_allclose(out[0], 4.0)
+
+
+def _compute_extra(cirs: np.ndarray):
+    # richer payload: per-request signature rows (3 doubles derived from
+    # the request) so every client can verify ITS extras came back
+    err, label = _compute(cirs)
+    extra = np.stack([cirs.mean(axis=1), cirs[:, 0], cirs[:, 1]], axis=1)
+    return err, label, extra
+
+
+@pytest.mark.parametrize("prefer_native", [True, False])
+def test_extras_payload_roundtrip(prefer_native):
+    rng = np.random.default_rng(7)
+    cirs = rng.normal(size=(24, L))
+    cirs[:, 0] = rng.integers(0, 5, 24)
+    with BatchServer(_compute_extra, cir_len=L, batch_size=8, n_extra=3,
+                     deadline_ms=5.0, prefer_native=prefer_native) as srv:
+        results = [None] * 24
+
+        def client(i):
+            results[i] = srv.submit(cirs[i])
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(24)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, out in enumerate(results):
+            assert out is not None and len(out) == 3
+            err, label, extra = out
+            np.testing.assert_allclose(err, cirs[i].mean(), rtol=1e-12)
+            np.testing.assert_allclose(
+                extra, [cirs[i].mean(), cirs[i, 0], cirs[i, 1]], rtol=1e-12)
+
+
+def test_tcp_front_end_to_end():
+    from iinsvae_tpu.runtime.batcher import TcpFront, socket_client_request
+
+    with BatchServer(_compute_extra, cir_len=L, batch_size=8, n_extra=3,
+                     deadline_ms=5.0) as srv:
+        if not srv.native:
+            pytest.skip("native plane unavailable")
+        with TcpFront(srv, port=0) as front:
+            assert front.port > 0
+            outs = [None] * 4
+
+            def client(i):
+                cirs = np.random.default_rng(11 + i).normal(size=(5, L)) + i
+                cirs[:, 0] = i
+                err, label, extra = socket_client_request(
+                    ("127.0.0.1", front.port), cirs, n_extra=3)
+                outs[i] = (cirs, err, label, extra)
+
+            threads = [threading.Thread(target=client, args=(i,))
+                       for i in range(4)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            for i, (cirs, err, label, extra) in enumerate(outs):
+                np.testing.assert_allclose(err, cirs.mean(axis=1), rtol=1e-12)
+                assert (label == i).all()
+                np.testing.assert_allclose(extra[:, 1], cirs[:, 0], rtol=1e-12)
+                np.testing.assert_allclose(extra[:, 2], cirs[:, 1], rtol=1e-12)
+            # in-process submits share the plane with TCP traffic
+            out = srv.submit(np.full(L, 3.0))
+            assert out is not None and out[1] == 3
+
+
+def test_serve_predictor_probs_and_recon():
+    from iinsvae_tpu.models import IInsVAE
+    from iinsvae_tpu.serving import Predictor
+    from iinsvae_tpu.runtime.batcher import serve_predictor
+    from iinsvae_tpu.training.optim import make_optimizer
+    from iinsvae_tpu.training.state import create_train_state
+
+    import jax
+    import jax.numpy as jnp
+
+    model = IInsVAE(cir_len=157, num_classes=5, style_dim=16)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.ones((2, 157)))
+    state = create_train_state(
+        model, variables, make_optimizer(n_epochs=2, decay_start_epoch=1))
+    pred = Predictor(model, state, batch_size=8, return_recon=True)
+
+    rng = np.random.default_rng(1)
+    cirs = rng.normal(size=(6, 157)).astype(np.float32)
+    want = pred(cirs)  # oracle: the same forward, batch path
+
+    with serve_predictor(pred, with_probs=True, with_recon=True,
+                         deadline_ms=10.0) as srv:
+        assert srv.n_extra == 5 + 157
+        got = [srv.submit(cirs[i], timeout_s=120.0) for i in range(6)]
+    for i, out in enumerate(got):
+        assert out is not None
+        err, label, extra = out
+        np.testing.assert_allclose(err, want.err_est[i, 0], atol=1e-5)
+        assert label == int(want.label[i])
+        np.testing.assert_allclose(extra[:5], want.label_probs[i], atol=1e-5)
+        np.testing.assert_allclose(extra[5:], want.recon[i], atol=1e-5)

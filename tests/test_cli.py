@@ -170,6 +170,8 @@ def test_serve_main_selftest(semi_run, capsys):
 
     tmp, _, _ = semi_run
     main(argv=["--selftest_n", "16", "--serve_batch", "8",
-               "--deadline_ms", "2"] + _argv(tmp))
+               "--deadline_ms", "2", "--probs"] + _argv(tmp))
     out = capsys.readouterr().out
     assert "self-test ok: 16 requests" in out
+    # --probs wires the richer payload through serve_predictor
+    assert "payload=err,label+5" in out
