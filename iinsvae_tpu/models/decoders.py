@@ -49,6 +49,10 @@ def set_dec1d_plan(plan) -> None:
 
 
 def set_dec1d_impl(impl: str) -> None:
+    """Set the DEFAULT 1-D lowering for Decoder1d instances whose ``impl``
+    field is None. Read at trace time, not a jit cache key — call BEFORE
+    any step is traced, or pass ``Decoder1d(impl=...)`` explicitly
+    (ADVICE round-2)."""
     global _DEC1D_IMPL
     assert impl in ("handbuilt", "chain")
     _DEC1D_IMPL = impl
@@ -99,9 +103,15 @@ class Decoder1d(nn.Module):
     in_dim: int = 157
     out_dim: int = 2
     style_dim: int = 8
+    # pins the 1-D lowering ('handbuilt' | 'chain') at construction; None
+    # falls back to the set_dec1d_impl module default (read at trace time —
+    # see its docstring; ADVICE round-2)
+    impl: str | None = None
 
     @nn.compact
     def __call__(self, range_code, env_code):
+        impl = self.impl or _DEC1D_IMPL
+        assert impl in ("handbuilt", "chain"), impl
         from iinsvae_tpu.models.layers import (
             conv_normal_init,
             _bias_uniform_init,
@@ -152,7 +162,7 @@ class Decoder1d(nn.Module):
 
         use_fused = pf.pallas_enabled() and b <= pf.MAX_FUSED_BATCH
 
-        if use_fused and _DEC1D_IMPL == "handbuilt":
+        if use_fused and impl == "handbuilt":
             # round-2 specialized lowering: in-stage one kernel, each AdaIN
             # residual block one whole-block kernel, the whole upsample tail
             # + final conv+tanh+pool one kernel (fused_sln_chain) — measured

@@ -81,6 +81,10 @@ def set_enc1d_plan(plan) -> None:
 
 
 def set_enc1d_impl(impl: str) -> None:
+    """Set the DEFAULT 1-D lowering for RangeEncoder1d instances whose
+    ``impl`` field is None. The default is read at trace time and is not
+    part of any jit cache key — call BEFORE any step is traced, or pass
+    ``RangeEncoder1d(impl=...)`` explicitly (ADVICE round-2)."""
     global _ENC1D_IMPL
     assert impl in ("handbuilt", "chain")
     _ENC1D_IMPL = impl
@@ -88,19 +92,24 @@ def set_enc1d_impl(impl: str) -> None:
 
 class RangeEncoder1d(nn.Module):
     """On TPU the stack lowers through the specialized round-2 kernels by
-    default (_ENC1D_IMPL='handbuilt': conv stages paired via fused_in_pair,
-    one whole-block kernel per residual block, fused head) or through the
+    default ('handbuilt': conv stages paired via fused_in_pair, one
+    whole-block kernel per residual block, fused head) or through the
     generic fused-chain kernel (ops/pallas/chain.py) under the _ENC1D_PLAN
-    grouping ('chain') — same math, see set_enc1d_impl. Reference
+    grouping ('chain') — same math. The ``impl`` field pins the choice at
+    construction; None falls back to the set_enc1d_impl module default
+    (which is read at trace time — see its docstring). Reference
     models.py:140-176."""
 
     dim: int = 4
     n_residual: int = 3
     n_downsample: int = 4
     out_dim: int = 2
+    impl: str | None = None
 
     @nn.compact
     def __call__(self, x):  # (B, L, 1)
+        impl = self.impl or _ENC1D_IMPL
+        assert impl in ("handbuilt", "chain"), impl
         from iinsvae_tpu.ops import dense_conv as dense_ops
         from iinsvae_tpu.ops.pallas import fused as pf
         from iinsvae_tpu.ops.pallas.chain import Stage, run_plan
@@ -131,7 +140,7 @@ class RangeEncoder1d(nn.Module):
         out_bias = self.param("out_bias", _bias_uniform_init(dim), (self.out_dim,))
 
         use_fused = pf.pallas_enabled() and b <= pf.MAX_FUSED_BATCH
-        if use_fused and _ENC1D_IMPL == "handbuilt":
+        if use_fused and impl == "handbuilt":
             # round-2 specialized lowering: conv stages PAIRED two per
             # kernel, each residual block one whole-block kernel, head one
             # kernel — measured faster than the generic chain (BASELINE.md

@@ -102,3 +102,29 @@ def test_dec1d_impls_agree():
     _assert_trees_close(out_h, out_d, atol=1e-4)
     _assert_trees_close(g_h, g_c, atol=1e-3)
     _assert_trees_close(g_h, g_d, atol=1e-3)
+
+
+def test_impl_field_overrides_module_default():
+    # the construction-time ``impl`` field wins over the set_*_impl module
+    # default, so a model built with an explicit lowering keeps it even if
+    # the global is flipped after tracing began (ADVICE round-2 item 1)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((4, 157, 1)), jnp.float32)
+    enc_mod.set_enc1d_impl("handbuilt")
+    enc_chain = enc_mod.RangeEncoder1d(dim=4, impl="chain")
+    v = enc_chain.init({"params": jax.random.PRNGKey(0)}, x)
+    out_field = enc_chain.apply(v, x)
+    enc_mod.set_enc1d_impl("chain")
+    enc_default = enc_mod.RangeEncoder1d(dim=4)
+    out_global = enc_default.apply(v, x)
+    _assert_trees_close(out_field, out_global, atol=1e-6)
+
+    rc = jnp.asarray(rng.standard_normal((4, 8, 2)), jnp.float32)
+    ec = jnp.asarray(rng.standard_normal((4, 8)), jnp.float32)
+    dec_mod.set_dec1d_impl("handbuilt")
+    dec_chain = dec_mod.Decoder1d(impl="chain")
+    vd = dec_chain.init({"params": jax.random.PRNGKey(1)}, rc, ec)
+    out_dfield = dec_chain.apply(vd, rc, ec)
+    dec_mod.set_dec1d_impl("chain")
+    out_dglobal = dec_mod.Decoder1d().apply(vd, rc, ec)
+    _assert_trees_close(out_dfield, out_dglobal, atol=1e-6)
