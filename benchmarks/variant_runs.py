@@ -16,7 +16,8 @@ import jax
 import numpy as np
 
 
-def run_variant(tag: str, cfg, epochs: int, batch: int, run_svm: bool = False):
+def run_variant(tag: str, cfg, epochs: int, batch: int, run_svm: bool = False,
+                param_override=None):
     from iinsvae_tpu.cli.common import resolve_data, to_batch_dict, init_state
     from iinsvae_tpu.cli.train_semi import build_model
     from iinsvae_tpu.training.loop import pad_to_batches, make_epoch_runner, make_evaluator
@@ -37,6 +38,8 @@ def run_variant(tag: str, cfg, epochs: int, batch: int, run_svm: bool = False):
 
     model = build_model(cfg)
     state = init_state(model, cfg, steps_per_epoch=steps_per_epoch)
+    if param_override is not None:
+        state = state.replace(params=param_override(state.params))
     run_epoch = make_epoch_runner(
         make_semi_train_step(model, supervision_rate=cfg.supervision_rate), batch
     )
@@ -110,6 +113,12 @@ def main():
     if "conv2" in which:
         results.append(run_variant(
             f"conv_type2_{args.compute_dtype}", Config(conv_type=2, **base),
+            args.epochs, args.batch))
+    if "envinit" in which:
+        # the opt-in --env_conv_init torch deviation (BASELINE.md round-3
+        # init attribution): torch-default conv init on the env branch only
+        results.append(run_variant(
+            "envinit_torch_1d", Config(env_conv_init="torch", **base),
             args.epochs, args.batch))
     if "conv3" in which:
         # the column-image variant the reference flags "Not available yet"

@@ -45,6 +45,7 @@ def build_model(cfg: Config) -> IInsVAE:
         classifier_type=cfg.classifier_type,
         soft=cfg.use_soft,
         expand=cfg.expand,
+        env_conv_init=cfg.env_conv_init,
     )
 
 

@@ -81,6 +81,10 @@ class Config:
     out_dir: str = "./saved_results"
     model_dir: str = "./saved_models"
     compute_dtype: str = "float32"
+    # env-branch conv init: 'reference' = weights_init_normal N(0, 0.02)
+    # (reference models.py:8-14); 'torch' = torch's Conv default — opt-in
+    # deviation, +8 points env accuracy at equal range RMSE (BASELINE.md)
+    env_conv_init: str = "reference"
     allow_synthetic: bool = True  # fall back to the synthetic fixture
     data_cache: bool = True  # mmap binary cache of the assembled split
     synthetic_n: int = 8192
@@ -157,6 +161,8 @@ def add_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     a("--out_dir", type=str, default=d.out_dir)
     a("--model_dir", type=str, default=d.model_dir)
     a("--compute_dtype", type=str, default=d.compute_dtype)
+    a("--env_conv_init", type=str, default=d.env_conv_init,
+      choices=["reference", "torch"])
     a("--no_synthetic", action="store_true", help="fail instead of falling back to the synthetic fixture")
     a("--no_data_cache", action="store_true", help="disable the mmap binary dataset cache")
     a("--synthetic_n", type=int, default=d.synthetic_n)

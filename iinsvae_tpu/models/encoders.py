@@ -351,19 +351,26 @@ class EnvEncoder2dNoExpand(nn.Module):
     dim: int = 16
     n_downsample: int = 2
     style_dim: int = 8
+    conv_init: str = "reference"  # see EnvEncoder1d
 
     @nn.compact
     def __call__(self, x):  # (B, L, 1, 1)
+        from iinsvae_tpu.models.layers import pick_conv_init
+
+        kinit = pick_conv_init(self.conv_init)
         x = adaptive_avg_pool2d(x, (128, 1))
-        x = nn.relu(Conv2d(self.dim, (7, 1), padding=((3, 3), (0, 0)), pad_mode="zero")(x))
+        x = nn.relu(Conv2d(self.dim, (7, 1), padding=((3, 3), (0, 0)),
+                           pad_mode="zero", kernel_init=kinit)(x))
         dim = self.dim
         for _ in range(2):
-            x = nn.relu(Conv2d(dim * 2, (4, 1), stride=(2, 1), padding=((1, 1), (0, 0)))(x))
+            x = nn.relu(Conv2d(dim * 2, (4, 1), stride=(2, 1),
+                               padding=((1, 1), (0, 0)), kernel_init=kinit)(x))
             dim *= 2
         for _ in range(self.n_downsample - 2):
-            x = nn.relu(Conv2d(dim, (4, 1), stride=(2, 1), padding=((1, 1), (0, 0)))(x))
+            x = nn.relu(Conv2d(dim, (4, 1), stride=(2, 1),
+                               padding=((1, 1), (0, 0)), kernel_init=kinit)(x))
         x = jnp.mean(x, axis=(-3, -2), keepdims=True)
-        cat = Conv2d(self.style_dim, 1)(x)
+        cat = Conv2d(self.style_dim, 1, kernel_init=kinit)(x)
         return cat.reshape(cat.shape[0], self.style_dim)
 
 
@@ -371,20 +378,29 @@ class EnvEncoder1d(nn.Module):
     dim: int = 16
     n_downsample: int = 2  # extra constant-depth downsamples = n_downsample - 2
     style_dim: int = 8
+    # 'reference' = weights_init_normal N(0, 0.02) (models.py:8-14);
+    # 'torch' = torch's Conv default U(+-1/sqrt(fan_in)) — opt-in, measured
+    # +8 points env accuracy at equal range RMSE (BASELINE.md round-3)
+    conv_init: str = "reference"
 
     @nn.compact
     def __call__(self, x):  # (B, L, 1)
+        from iinsvae_tpu.models.layers import pick_conv_init
+
+        kinit = pick_conv_init(self.conv_init)
         x = adaptive_avg_pool1d(x, 128)
         x = ConvINAct(self.dim, 7, padding=3, pad_mode="reflect",
-                      norm="none", act="relu")(x)
+                      norm="none", act="relu", kernel_init=kinit)(x)
         dim = self.dim
         for _ in range(2):
-            x = ConvINAct(dim * 2, 4, stride=2, padding=1, norm="none", act="relu")(x)
+            x = ConvINAct(dim * 2, 4, stride=2, padding=1, norm="none",
+                          act="relu", kernel_init=kinit)(x)
             dim *= 2
         for _ in range(self.n_downsample - 2):
-            x = ConvINAct(dim, 4, stride=2, padding=1, norm="none", act="relu")(x)
+            x = ConvINAct(dim, 4, stride=2, padding=1, norm="none",
+                          act="relu", kernel_init=kinit)(x)
         x = jnp.mean(x, axis=-2, keepdims=True)  # AdaptiveAvgPool1d(1)
-        cat = Conv1d(self.style_dim, 1)(x)  # (B, 1, style_dim)
+        cat = Conv1d(self.style_dim, 1, kernel_init=kinit)(x)  # (B, 1, style_dim)
         return cat.reshape(cat.shape[0], self.style_dim)  # (B, style_dim)
 
 
@@ -397,25 +413,29 @@ class EnvEncoder2d(nn.Module):
     dim: int = 16
     n_downsample: int = 2
     style_dim: int = 8
+    conv_init: str = "reference"  # see EnvEncoder1d
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, 1) | GroupedField
+        from iinsvae_tpu.models.layers import pick_conv_init
+
+        kinit = pick_conv_init(self.conv_init)
         dims, d = [], self.dim
         for _ in range(2):
             dims.append((d, d * 2, 2))
             d *= 2
         for _ in range(self.n_downsample - 2):
             dims.append((d, d, 2))
-        k0 = self.param("in_kernel", conv_normal_init(), (7, 7, 1, self.dim))
+        k0 = self.param("in_kernel", kinit, (7, 7, 1, self.dim))
         b0 = self.param("in_bias", _bias_uniform_init(49), (self.dim,))
         down = [
             (
-                self.param(f"down{j}_kernel", conv_normal_init(), (4, 4, di, do)),
+                self.param(f"down{j}_kernel", kinit, (4, 4, di, do)),
                 self.param(f"down{j}_bias", _bias_uniform_init(di * 16), (do,)),
             )
             for j, (di, do, _) in enumerate(dims)
         ]
-        ko = self.param("out_kernel", conv_normal_init(), (1, 1, d, self.style_dim))
+        ko = self.param("out_kernel", kinit, (1, 1, d, self.style_dim))
         bo = self.param("out_bias", _bias_uniform_init(d), (self.style_dim,))
 
         if isinstance(x, cg.GroupedField):
@@ -477,6 +497,10 @@ class Encoder(nn.Module):
     expand: bool = False
     # 'grouped' | 'dense' | None (= module default, set_conv2d_expand_impl)
     lowering: Optional[str] = None
+    # env-branch conv init: 'reference' (weights_init_normal N(0,0.02)) or
+    # the opt-in 'torch' default — measured +8 points env-ID accuracy at
+    # equal range RMSE (benchmarks/init_ablation.py, BASELINE.md round 3)
+    env_conv_init: str = "reference"
 
     @nn.compact
     def __call__(self, x, sample_key: Optional[jax.Array] = None):
@@ -489,7 +513,7 @@ class Encoder(nn.Module):
             )(xin)
             cat = EnvEncoder1d(
                 self.dim * 4, self.n_downsample - 2, self.style_dim,
-                name="env_encoder",
+                conv_init=self.env_conv_init, name="env_encoder",
             )(xin)
         elif self.conv_type == 2 and self.expand:
             # (B, L) -> (B, L, L, 1): row i of the image is x broadcast
@@ -507,7 +531,7 @@ class Encoder(nn.Module):
             )(xin)
             cat = EnvEncoder2d(
                 self.dim * 4, self.n_downsample - 2, self.style_dim,
-                name="env_encoder",
+                conv_init=self.env_conv_init, name="env_encoder",
             )(xin)
         else:
             # conv_type=3 (or conv_type=2 without expand): column image
@@ -519,7 +543,7 @@ class Encoder(nn.Module):
             )(xin)
             cat = EnvEncoder2dNoExpand(
                 self.dim * 4, self.n_downsample - 2, self.style_dim,
-                name="env_encoder",
+                conv_init=self.env_conv_init, name="env_encoder",
             )(xin)
 
         mu, log_sigma = split_env_stats(cat)

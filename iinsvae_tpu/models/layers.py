@@ -43,6 +43,30 @@ def _bias_uniform_init(fan_in: int):
     return init
 
 
+def conv_torch_init():
+    """torch's Conv default kernel init U(+-1/sqrt(fan_in)), fan_in = all
+    axes but the trailing out-channel one. The reference overrides this with
+    weights_init_normal N(0, 0.02) (models.py:8-14) — measured on the env
+    branch that override costs ~8 points of env-ID accuracy at equal range
+    RMSE (benchmarks/init_ablation.py; BASELINE.md round-3 'init
+    attribution'), so the env encoders expose it as the opt-in
+    conv_init='torch'."""
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = 1
+        for s in shape[:-1]:
+            fan_in *= int(s)
+        bound = 1.0 / float(fan_in) ** 0.5
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+def pick_conv_init(name: str):
+    """'reference' -> N(0, 0.02) (weights_init_normal); 'torch' -> torch's
+    Conv default U(+-1/sqrt(fan_in))."""
+    assert name in ("reference", "torch"), name
+    return conv_normal_init() if name == "reference" else conv_torch_init()
+
+
 class Conv1d(nn.Module):
     """Channels-last Conv1d lowered to an im2col matmul (ops/conv.py)."""
 

@@ -47,13 +47,18 @@ class IInsVAE(nn.Module):
     # trace time — see set_conv2d_expand_impl / set_decoder2d_impl).
     enc_lowering: Optional[str] = None
     dec_lowering: Optional[str] = None
+    # env-branch conv init: 'reference' = the reference's weights_init_normal
+    # N(0, 0.02); 'torch' = torch's Conv default U(+-1/sqrt(fan_in)) — an
+    # opt-in deviation measured +8 points env-ID accuracy at equal range
+    # RMSE (benchmarks/init_ablation.py; BASELINE.md round-3 attribution)
+    env_conv_init: str = "reference"
 
     def setup(self):
         self.encoder = Encoder(
             conv_type=self.conv_type, dim=self.dim, n_residual=self.n_residual,
             n_downsample=self.n_downsample, style_dim=self.style_dim,
             out_dim=self.range_dim, expand=self.expand,
-            lowering=self.enc_lowering,
+            lowering=self.enc_lowering, env_conv_init=self.env_conv_init,
         )
         self.decoder = Decoder(
             conv_type=self.conv_type, dim=self.dim, n_residual=self.n_residual,

@@ -160,3 +160,37 @@ def test_conv2_bf16_train_grads():
 
     g = jax.grad(loss)(v["params"])
     assert all(bool(jnp.isfinite(l).all()) for l in jax.tree.leaves(g))
+
+
+def test_env_conv_init_option():
+    """--env_conv_init torch re-initializes ONLY the env branch's conv
+    kernels with torch's U(+-1/sqrt(fan_in)) default; the range branch keeps
+    the reference's weights_init_normal N(0, 0.02) either way (BASELINE.md
+    round-3 init attribution)."""
+    import numpy as np
+    from iinsvae_tpu.models.encoders import Encoder
+
+    x = jnp.ones((2, 157))
+    p_ref = Encoder(env_conv_init="reference").init(
+        {"params": jax.random.PRNGKey(0)}, x)["params"]
+    p_torch = Encoder(env_conv_init="torch").init(
+        {"params": jax.random.PRNGKey(0)}, x)["params"]
+
+    # env in-conv: (7, 1, 16), fan_in 7 -> torch bound 0.378 (uniform std
+    # ~0.22), far above the reference's N(0, 0.02)
+    k_ref = np.asarray(p_ref["env_encoder"]["ConvINAct_0"]["kernel"])
+    k_torch = np.asarray(p_torch["env_encoder"]["ConvINAct_0"]["kernel"])
+    assert np.abs(k_ref).max() < 0.12  # ~5 sigma of N(0, 0.02)
+    assert np.abs(k_torch).max() > 0.15
+    assert np.abs(k_torch).max() <= 1.0 / np.sqrt(7) + 1e-6
+
+    # range branch identical under both settings
+    np.testing.assert_array_equal(
+        np.asarray(p_ref["range_encoder"]["in_kernel"]),
+        np.asarray(p_torch["range_encoder"]["in_kernel"]))
+
+    # CLI flag parses and reaches the model builder
+    from iinsvae_tpu.config import parse
+    from iinsvae_tpu.cli.train_semi import build_model
+    cfg = parse(["--env_conv_init", "torch"])
+    assert build_model(cfg).env_conv_init == "torch"
