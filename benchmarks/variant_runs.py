@@ -120,6 +120,12 @@ def main():
         results.append(run_variant(
             "envinit_torch_1d", Config(env_conv_init="torch", **base),
             args.epochs, args.batch))
+    if "envinit2" in which:
+        # --env_conv_init torch on the quality-best 2-D config
+        results.append(run_variant(
+            f"envinit_torch_2d_{args.compute_dtype}",
+            Config(conv_type=2, env_conv_init="torch", **base),
+            args.epochs, args.batch))
     if "conv3" in which:
         # the column-image variant the reference flags "Not available yet"
         # (models.py:218-255), made functional here

@@ -40,6 +40,7 @@ def build_model(cfg: Config):
         filters=cfg.filters,
         enet_type=cfg.identifier_type,
         mnet_type=cfg.regressor_type,
+        env_conv_init=cfg.env_conv_init,
     )
 
 

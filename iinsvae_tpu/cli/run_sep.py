@@ -42,6 +42,7 @@ def main(argv=None, cfg: Config | None = None):
     enet = IdentifierSep(
         cir_len=cfg.cir_len, num_classes=cfg.num_classes, env_dim=cfg.env_dim,
         filters=cfg.filters, enet_type=cfg.identifier_type,
+        env_conv_init=cfg.env_conv_init,
     )
     mnet = RegressorSep(
         cir_len=cfg.cir_len, num_classes=cfg.num_classes, env_dim=cfg.env_dim,

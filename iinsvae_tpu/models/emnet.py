@@ -40,6 +40,7 @@ class _Backbone(nn.Module):
     n_downsample: int = 4
     env_dim: int = 16
     range_dim: int = 2
+    env_conv_init: str = "reference"  # see models/encoders.py EnvEncoder1d
 
     @nn.compact
     def __call__(self, cir):
@@ -49,7 +50,8 @@ class _Backbone(nn.Module):
             name="range_encoder",
         )(x)
         env_latent = EnvEncoder1d(
-            self.dim * 4, self.n_downsample - 2, self.env_dim, name="env_encoder",
+            self.dim * 4, self.n_downsample - 2, self.env_dim,
+            conv_init=self.env_conv_init, name="env_encoder",
         )(x)
         return range_code, env_latent
 
@@ -63,10 +65,13 @@ class EMNet(nn.Module):
     filters: int = 16
     enet_type: int | str = 1
     mnet_type: int | str = 1
+    env_conv_init: str = "reference"
 
     @nn.compact
     def __call__(self, cir, *, train: bool = False):
-        range_code, env_latent = _Backbone(env_dim=self.env_dim, name="backbone")(cir)
+        range_code, env_latent = _Backbone(
+            env_dim=self.env_dim, env_conv_init=self.env_conv_init,
+            name="backbone")(cir)
         label_est = Classifier(
             num_classes=self.num_classes, filters=self.filters,
             net_type=net_type_name(self.enet_type), name="identifier",
@@ -86,10 +91,13 @@ class EMNetLoop(nn.Module):
     filters: int = 16
     enet_type: int | str = 1
     mnet_type: int | str = 1
+    env_conv_init: str = "reference"
 
     @nn.compact
     def __call__(self, cir, *, train: bool = False):
-        range_code, env_latent = _Backbone(env_dim=self.env_dim, name="backbone")(cir)
+        range_code, env_latent = _Backbone(
+            env_dim=self.env_dim, env_conv_init=self.env_conv_init,
+            name="backbone")(cir)
         label_est = Classifier(
             num_classes=self.num_classes, filters=self.filters,
             net_type=net_type_name(self.enet_type), name="identifier",
@@ -113,11 +121,14 @@ class IdentifierSep(nn.Module):
     env_dim: int = 16
     filters: int = 16
     enet_type: int | str = 1
+    env_conv_init: str = "reference"
 
     @nn.compact
     def __call__(self, cir, *, train: bool = False):
         x = cir.reshape(cir.shape[0], cir.shape[-1], 1)
-        env_latent = EnvEncoder1d(16, 2, self.env_dim, name="env_encoder")(x)
+        env_latent = EnvEncoder1d(16, 2, self.env_dim,
+                                  conv_init=self.env_conv_init,
+                                  name="env_encoder")(x)
         label_est = Classifier(
             num_classes=self.num_classes, filters=self.filters,
             net_type=net_type_name(self.enet_type), name="identifier",
