@@ -25,11 +25,17 @@ def main():
     ap.add_argument("--no_phase_sln", action="store_true",
                     help="A/B: disable the fused channels-first upsample "
                          "stage kernel (ops/pallas/phase_sln.py)")
+    ap.add_argument("--shuffle_first", action="store_true",
+                    help="A/B: pixel-shuffle before SLN+relu on the "
+                         "non-sliced upsample stages (exact reorder)")
     args = ap.parse_args()
 
     if args.no_phase_sln:
         from iinsvae_tpu.ops.pallas import phase_sln
         phase_sln.set_enabled(False)
+    if args.shuffle_first:
+        from iinsvae_tpu.models import decoders
+        decoders.set_shuffle_first(True)
 
     import jax
     import jax.numpy as jnp

@@ -42,6 +42,20 @@ _DEC1D_PLAN = (1, 2, 2, 2, 6)
 # at trace time, not a jit cache key.
 _DEC1D_IMPL = "handbuilt"
 
+# Stage ordering for Decoder2d's non-sliced upsample stages: False =
+# conv -> SLN(tiled affine) -> relu -> pixel_shuffle (the shipped order);
+# True = conv -> pixel_shuffle -> SLN(per-channel affine) -> relu. Exact
+# either way (the per-sample whole-tensor SLN stats are layout-invariant
+# and the tiled affine indexes gamma[c] for phase channel (p,q,c)); kept
+# as a measured A/B knob for XLA's fusion of the transpose with the
+# normalize/relu pass (benchmarks/profile2d.py --shuffle_first).
+_SHUFFLE_FIRST = False
+
+
+def set_shuffle_first(v: bool) -> None:
+    global _SHUFFLE_FIRST
+    _SHUFFLE_FIRST = bool(v)
+
 
 def set_dec1d_plan(plan) -> None:
     global _DEC1D_PLAN
@@ -421,9 +435,13 @@ class Decoder2d(nn.Module):
                             z[:, :, :2, :], mean, std,
                             jnp.tile(gamma, 4), jnp.tile(beta, 4),
                         )
+                        x = sp.pixel_shuffle2(nn.relu(z))
+                    elif _SHUFFLE_FIRST:
+                        x = sp.pixel_shuffle2(z)
+                        x = nn.relu(sample_layer_norm(x, gamma, beta))
                     else:
                         z = sample_layer_norm(z, jnp.tile(gamma, 4), jnp.tile(beta, 4))
-                    x = sp.pixel_shuffle2(nn.relu(z))
+                        x = sp.pixel_shuffle2(nn.relu(z))
             # final 7x7 reflect conv + (in_dim, in_dim) pool, column 0 only:
             # W-pool output column 0 averages exactly input column 0 (window
             # [0, ceil(W/in_dim)) = [0,1) since in_dim > W), and conv column

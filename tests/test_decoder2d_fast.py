@@ -96,6 +96,24 @@ def test_decoder_facade_fast_grad_matches_dense():
             err_msg=f"grad mismatch at {ks}")
 
 
+def test_decoder2d_shuffle_first_exact():
+    # conv -> shuffle -> SLN(per-channel) -> relu is an exact reorder of
+    # conv -> SLN(tiled) -> relu -> shuffle (whole-tensor per-sample stats
+    # are layout-invariant); the A/B knob must not change the output
+    from iinsvae_tpu.models import decoders
+
+    rc, ec = _decoder_io(jax.random.PRNGKey(4))
+    fast = Decoder2d(lowering="fast")
+    variables = fast.init(jax.random.PRNGKey(1), rc, ec)
+    base = fast.apply(variables, rc, ec)
+    try:
+        decoders.set_shuffle_first(True)
+        reordered = fast.apply(variables, rc, ec)
+    finally:
+        decoders.set_shuffle_first(False)
+    np.testing.assert_allclose(reordered, base, rtol=2e-5, atol=2e-5)
+
+
 def test_conv2d_column_image_routes_to_1d():
     # (k,1) kernels on (B, L, 1, C) column images (conv_type=3) must match
     # the general XLA conv lowering exactly
