@@ -22,9 +22,11 @@ because r > 0):
   gx  = gd @ M_c^T;   gM_c = x^T @ gd   # one kernel, both outputs
 
 The matmuls hit the MXU; the norm/act algebra runs on the VPU while tiles
-are VMEM-resident — no intermediate HBM traffic. Whole-batch blocks: at the
-model's sizes ((B<=2048, K,N<=1024) f32) every operand fits VMEM, so
-grid=(1,); larger batches fall back to the unfused path in the caller.
+are VMEM-resident — no intermediate HBM traffic. Whole-batch blocks at the
+flagship sizes ((B<=512, K,N<=2048) f32) — every operand fits VMEM with
+grid=(1,); larger batches are row-chunked onto the same kernels by the
+public entries (_map_rows below), exact because all the fused math is
+per-sample independent.
 
 Supported configs (all encoder stages use one of these):
   norm in {'in', 'none'}, act in {'relu', 'tanh', 'none'},
@@ -256,7 +258,8 @@ def fused_res_block(x, m1, m2, *, l_out: int, c_out: int, centered: bool = False
     constant selector for free)."""
     m1c = m1 if centered else center_matrix(m1, l_out, c_out)
     m2c = m2 if centered else center_matrix(m2, l_out, c_out)
-    return _make_resblock_layer(l_out, c_out)(x, m1c, m2c)
+    layer = _make_resblock_layer(l_out, c_out)
+    return _map_rows(lambda xc: layer(xc, m1c, m2c), (x,), x.shape[0])
 
 
 # --------------------- stage-pair kernel (IN+relu twice) ---------------------
@@ -361,7 +364,8 @@ def fused_in_pair(x, m1, m2, *, l1, c1, l2, c2, centered=False):
     carry the IN mean-centering."""
     m1c = m1 if centered else center_matrix(m1, l1, c1)
     m2c = m2 if centered else center_matrix(m2, l2, c2)
-    return _make_in_pair_layer(l1, c1, l2, c2)(x, m1c, m2c)
+    layer = _make_in_pair_layer(l1, c1, l2, c2)
+    return _map_rows(lambda xc: layer(xc, m1c, m2c), (x,), x.shape[0])
 
 
 # ---------------- whole-residual-block kernel (AdaIN, per-sample affine) ----------------
@@ -443,6 +447,53 @@ def _batch_chunk(b: int, max_c: int = 128) -> int:
     return b
 
 
+# --------------------- row chunking for oversized batches ---------------------
+#
+# The whole-batch layers below are sized for the flagship regime (B ~ 500,
+# N <= 2048): every operand lives in one VMEM block. Past ~512 rows the
+# longer chains blow the ~16 MB scoped-VMEM limit (measured: fused_sln_chain
+# at B=2000 wants 22 MB and Mosaic refuses to compile). Instead of falling
+# back to the unfused path there, the public entries run the SAME
+# whole-batch kernel over <= _CHUNK_ROWS row chunks with lax.map — exact,
+# because every op in these kernels is per-sample independent (IN/AdaIN/SLN
+# statistics are per-row) and the weight gradients of the closed-over
+# matrices accumulate through the scan VJP. Batch sizes with no divisor
+# near _CHUNK_ROWS are zero-padded up to a chunk multiple: the padded
+# output rows are sliced off, so their cotangents are zero and they
+# contribute nothing to any weight gradient.
+
+_CHUNK_ROWS = 512
+
+
+def _split_rows(b: int) -> tuple[int, int]:
+    """(chunk, pad) so that (b + pad) % chunk == 0; chunk == b = no split."""
+    if b <= _CHUNK_ROWS:
+        return b, 0
+    # prefer an exact divisor in (_CHUNK_ROWS/2, _CHUNK_ROWS] — full-size
+    # chunks, zero padded rows (e.g. 2000 -> 4 x 500, 4096 -> 8 x 512)
+    for c in range(_CHUNK_ROWS, _CHUNK_ROWS // 2, -1):
+        if b % c == 0:
+            return c, 0
+    return _CHUNK_ROWS, (-b) % _CHUNK_ROWS
+
+
+def _map_rows(fn, mapped, b: int):
+    """Apply per-row-independent fn over row chunks of the (b, n_i) arrays
+    in `mapped`; non-batched operands are closed over by fn."""
+    c, pad = _split_rows(b)
+    if c == b:
+        return fn(*mapped)
+    bp = b + pad
+
+    def prep(a):
+        if pad:
+            a = jnp.pad(a, ((0, pad), (0, 0)))
+        return a.reshape(bp // c, c, a.shape[1])
+
+    ys = jax.lax.map(lambda t: fn(*t), tuple(prep(a) for a in mapped))
+    return ys.reshape(bp, ys.shape[-1])[:b]
+
+
 @functools.lru_cache(maxsize=None)
 def _make_adain_block_layer(l_out: int, c_out: int):
     n = l_out * c_out
@@ -509,7 +560,11 @@ def fused_adain_res_block(x, m1, m2, g1, b1, g2, b2, *, l_out: int, c_out: int,
     Pallas kernel forward and one backward. g*/b*: per-sample (B, N) tiles."""
     m1c = m1 if centered else center_matrix(m1, l_out, c_out)
     m2c = m2 if centered else center_matrix(m2, l_out, c_out)
-    return _make_adain_block_layer(l_out, c_out)(x, m1c, m2c, g1, b1, g2, b2)
+    layer = _make_adain_block_layer(l_out, c_out)
+    return _map_rows(
+        lambda xc, g1c, b1c, g2c, b2c: layer(xc, m1c, m2c, g1c, b1c, g2c, b2c),
+        (x, g1, b1, g2, b2), x.shape[0],
+    )
 
 
 # --------------------- decoder kernels: AdaIN / SLN / tanh+pool ---------------------
@@ -774,9 +829,16 @@ def fused_adain_layer(x, m, gamma_full, beta_full, *, l_out, c_out, act="none", 
     """AdaIN stage: act(IN(x@M) * gamma + beta) [+ res]; gamma/beta (B, N)."""
     mc = center_matrix(m, l_out, c_out)
     layer = _make_adain_layer(l_out, c_out, act, residual is not None)
+    b = x.shape[0]
     if residual is not None:
-        return layer(x, mc, gamma_full, beta_full, residual)
-    return layer(x, mc, gamma_full, beta_full)
+        return _map_rows(
+            lambda xc, gc, bc, rc: layer(xc, mc, gc, bc, rc),
+            (x, gamma_full, beta_full, residual), b,
+        )
+    return _map_rows(
+        lambda xc, gc, bc: layer(xc, mc, gc, bc),
+        (x, gamma_full, beta_full), b,
+    )
 
 
 def fused_sln_layer(x, m, gamma_full, beta_full, *, n: int):
@@ -784,13 +846,18 @@ def fused_sln_layer(x, m, gamma_full, beta_full, *, n: int):
     gamma_full/beta_full: (1, N) per-channel affine tiled over l."""
     # SLN centering is over ALL outputs per sample -> subtract column mean
     mc = m - jnp.mean(m, axis=1, keepdims=True)
-    return _make_sln_layer(n)(x, mc, gamma_full, beta_full)
+    layer = _make_sln_layer(n)
+    return _map_rows(
+        lambda xc: layer(xc, mc, gamma_full, beta_full), (x,), x.shape[0]
+    )
 
 
 def fused_tanh_pool_layer(x, m, bias_full, pool):
     """Final decoder stage: pool(tanh(x@M + b)) in one kernel."""
     layer = _make_tanhpool_layer(m.shape[1], pool.shape[1])
-    return layer(x, m, bias_full, pool)
+    return _map_rows(
+        lambda xc: layer(xc, m, bias_full, pool), (x,), x.shape[0]
+    )
 
 
 # ----------------- decoder upsample-chain kernel (4x SLN + tanh-pool) -----------------
@@ -982,7 +1049,12 @@ def fused_sln_chain(x, ms, gammas, betas, m_out, bias_out, pool, biases=None):
             for b in biases
         )
     layer = _make_sln_chain_layer(ns, m_out.shape[1], pool.shape[1])
-    return layer(x, msc, bisc, tuple(gammas), tuple(betas), m_out, bias_out, pool)
+    return _map_rows(
+        lambda xc: layer(
+            xc, msc, bisc, tuple(gammas), tuple(betas), m_out, bias_out, pool
+        ),
+        (x,), x.shape[0],
+    )
 
 
 # ----------------------- fused MLP chain (heads) -----------------------
@@ -1095,7 +1167,9 @@ def fused_mlp_chain(x, ws, bs, slopes):
     the LeakyReLU negative slope per layer (1.0 = linear, no activation)."""
     dims = tuple(w.shape[1] for w in ws)
     layer = _make_mlp_chain_layer(tuple(float(s) for s in slopes), dims)
-    return layer(x, tuple(ws), tuple(b.reshape(1, -1) for b in bs))
+    wst = tuple(ws)
+    bst = tuple(b.reshape(1, -1) for b in bs)
+    return _map_rows(lambda xc: layer(xc, wst, bst), (x,), x.shape[0])
 
 
 # ------------------------- custom-vjp wrappers -------------------------
@@ -1236,7 +1310,11 @@ def _make_nonorm_layer(act: str, has_bias: bool):
 
 # ------------------------- public entry -------------------------
 
-MAX_FUSED_BATCH = 2048
+# Fused lowerings chunk oversized batches onto <=_CHUNK_ROWS-row calls
+# (_map_rows above), so there is no VMEM batch ceiling anymore; this cap
+# only bounds the pad waste / sequential-chunk count for absurd batch
+# sizes, where the unfused XLA path is the sane lowering anyway.
+MAX_FUSED_BATCH = 16384
 
 
 def fused_dense_layer(
@@ -1258,16 +1336,20 @@ def fused_dense_layer(
     centered: m already carries the IN mean-centering.
     """
     assert m.shape[1] == l_out * c_out
+    b = x.shape[0]
     if norm == "in":
         assert bias is None, "bias before InstanceNorm is a no-op"
         mc = m if centered else center_matrix(m, l_out, c_out)
         layer = _make_in_layer(l_out, c_out, act, residual is not None)
         if residual is not None:
             assert act == "none"
-            return layer(x, mc, residual)
-        return layer(x, mc)
+            return _map_rows(
+                lambda xc, rc: layer(xc, mc, rc), (x, residual), b
+            )
+        return _map_rows(lambda xc: layer(xc, mc), (x,), b)
     assert norm == "none" and residual is None
     layer = _make_nonorm_layer(act, bias is not None)
     if bias is not None:
-        return layer(x, m, bias.reshape(1, -1))
-    return layer(x, m)
+        brow = bias.reshape(1, -1)
+        return _map_rows(lambda xc: layer(xc, m, brow), (x,), b)
+    return _map_rows(lambda xc: layer(xc, m), (x,), b)
