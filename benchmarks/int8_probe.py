@@ -69,12 +69,16 @@ def main():
         def run_timed(fn, x0):
             @jax.jit
             def loop(x):
-                def body(c, _):
-                    y = fn(c)
-                    # feed a same-shaped input back so the scan chains
-                    return c, y.reshape(-1)[0].astype(jnp.float32)
-                _, ys = lax.scan(body, x, None, length=args.reps)
-                return ys.sum()
+                # scalar acc perturbs the input each rep (the sibling
+                # probes' pattern) so the conv is loop-VARIANT — a body
+                # that returns its carry unchanged lets XLA hoist the conv
+                # out of the while loop and measures nothing
+                def body(acc, _):
+                    y = fn(x + acc.astype(x.dtype))
+                    return y.reshape(-1)[0].astype(jnp.float32) * 1e-30, None
+                acc, _ = lax.scan(
+                    body, jnp.zeros((), jnp.float32), None, length=args.reps)
+                return acc
             float(loop(x0))  # compile+warm
             best = np.inf
             for _ in range(3):

@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--env", default="room_full")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--rates", default="0.1,0.2,0.4,0.6,0.8,1.0")
+    ap.add_argument("--conv_type", type=int, default=1, choices=[1, 2, 3])
+    ap.add_argument("--compute_dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     args = ap.parse_args()
     rates = [float(r) for r in args.rates.split(",")]
 
@@ -46,11 +49,13 @@ def main():
     base = Config(
         dataset_env=args.env, synthetic_n=args.synthetic_n, seed=args.seed,
         n_epochs=args.epochs, batch_size=args.batch,
+        conv_type=args.conv_type, compute_dtype=args.compute_dtype,
     )
     data_train, data_test = resolve_data(base)
-    train = pad_to_batches(to_batch_dict(data_train), args.batch)
+    train = pad_to_batches(to_batch_dict(data_train, base.compute_dtype),
+                           args.batch)
     steps_per_epoch = train["cir"].shape[0] // args.batch
-    test_batch = to_batch_dict(data_test)
+    test_batch = to_batch_dict(data_test, base.compute_dtype)
     eval_bs = min(500, test_batch["cir"].shape[0])
     padded_test = pad_to_batches(test_batch, eval_bs)
     n_test = test_batch["cir"].shape[0]
@@ -97,6 +102,8 @@ def main():
     per_rate = ts.main([
         "--dataset_env", args.env, "--synthetic_n", str(args.synthetic_n),
         "--seed", str(args.seed), "--test_epoch", str(args.epochs),
+        "--conv_type", str(args.conv_type),
+        "--compute_dtype", args.compute_dtype,
     ])
     print(f"sweep curves: {[r for r, _ in per_rate]}", flush=True)
 

@@ -125,10 +125,16 @@ def init_state(model, cfg: Config, example_batch_size: int = 2, steps_per_epoch:
         variables = model.init(rngs, x, extra_input)
     else:
         variables = model.init(rngs, x)
+    # offset stays 0 even when resuming (--epoch N): restore_checkpoint
+    # restores the optax schedule count (= N * steps_per_epoch), which
+    # already encodes the progress — adding cfg.epoch on top made the LR
+    # resume at the 2N-epoch decay point and hit the zero clamp early.
+    # (The reference NEEDS LambdaLR's offset because torch restarts its
+    # scheduler from 0 on resume; orbax restores ours.)
     tx = make_optimizer(
         cfg.lr, cfg.b1, cfg.b2,
         n_epochs=cfg.n_epochs, decay_start_epoch=cfg.decay_epoch,
-        steps_per_epoch=steps_per_epoch, offset=cfg.epoch,
+        steps_per_epoch=steps_per_epoch,
     )
     return create_train_state(model, variables, tx)
 

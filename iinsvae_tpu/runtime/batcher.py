@@ -197,14 +197,29 @@ class BatchServer:
                 if ts is None or not len(ts):
                     continue
                 ts = np.asarray(ts, dtype=np.int64)
-            out = self.compute_fn(cirs)
-            err, label = out[0], out[1]
-            err = np.ascontiguousarray(np.asarray(err, np.float64).reshape(-1))
-            label = np.ascontiguousarray(np.asarray(label, np.int64).reshape(-1))
-            extra = None
-            if self.n_extra:
-                extra = np.ascontiguousarray(
-                    np.asarray(out[2], np.float64).reshape(len(ts), self.n_extra))
+            try:
+                out = self.compute_fn(cirs)
+                err = np.ascontiguousarray(
+                    np.asarray(out[0], np.float64).reshape(-1))
+                label = np.ascontiguousarray(
+                    np.asarray(out[1], np.int64).reshape(-1))
+                extra = None
+                if self.n_extra:
+                    extra = np.ascontiguousarray(np.asarray(
+                        out[2], np.float64).reshape(len(ts), self.n_extra))
+            except Exception:  # noqa: BLE001 — a transient compute failure
+                # (e.g. the TPU tunnel dropping mid-serve) must not kill the
+                # worker thread: post honest failure rows (err=NaN,
+                # label=-1) so waiting clients unblock NOW instead of
+                # timing out, then keep serving subsequent batches
+                import logging
+                logging.getLogger("iinsvae.serving").exception(
+                    "compute_fn failed for a %d-row batch; posting NaN "
+                    "failure rows and continuing", len(ts))
+                err = np.full(len(ts), np.nan)
+                label = np.full(len(ts), -1, dtype=np.int64)
+                extra = (np.full((len(ts), self.n_extra), np.nan)
+                         if self.n_extra else None)
             if self._h is not None:
                 self._lib.iins_batcher_post(
                     self._h, ts.ctypes.data_as(_p_i64),
@@ -216,7 +231,9 @@ class BatchServer:
 
     def submit(self, cir: np.ndarray, timeout_s: float = 30.0):
         """One request: (err_est, env_label) — plus the (n_extra,) payload
-        row as a third element when n_extra > 0 — or None on timeout."""
+        row as a third element when n_extra > 0 — or None on timeout.
+        A compute_fn failure for this request's batch comes back as
+        (NaN, -1): honest and immediate rather than a timeout."""
         cir = np.ascontiguousarray(cir, dtype=np.float64).reshape(-1)
         assert cir.shape[0] == self.cir_len, cir.shape
         if self._h is not None:
@@ -250,7 +267,21 @@ class BatchServer:
         self._stop.set()
         if self._py is not None:
             self._py.stop()
-        self._worker.join(timeout=10.0)
+        # the worker exits within one next_batch slice (50 ms) unless it is
+        # INSIDE compute_fn — which can legitimately run minutes (first TPU
+        # compile of the serving forward is 30 s - 3 min on this image).
+        # Destroying the native handle under a live worker is a
+        # use-after-free (post would touch freed memory), so wait it out;
+        # if the compute is truly hung, leak the handle rather than crash.
+        self._worker.join(timeout=600.0)
+        if self._worker.is_alive():
+            import logging
+            logging.getLogger("iinsvae.serving").error(
+                "serving worker still inside compute_fn after 600 s; "
+                "leaking the native batcher handle instead of freeing it "
+                "under a live thread")
+            self._h = None
+            return
         if self._h is not None:
             h, self._h = self._h, None
             self._lib.iins_batcher_destroy(h)
@@ -341,7 +372,10 @@ def socket_client_request(addr, cirs: np.ndarray, timeout_s: float = 60.0,
     """Client half of the listener protocol: (n, L) CIRs ->
     (err (n,), label (n,)) — plus extra (n, n_extra) when the server was
     built with a richer payload. ``addr``: a unix-socket path (str) or a
-    (host, port) tuple for a TcpFront. One connection per call."""
+    (host, port) tuple for a TcpFront. One connection per call. Rows the
+    server could not compute (shutdown, compute failure, per-ticket
+    timeout) come back as err=NaN, label=-1. Requests may be arbitrarily
+    large — the server streams rows through its batcher ring."""
     import socket
     import struct
 

@@ -45,9 +45,11 @@ struct Batcher {
   std::condition_variable pending_cv;  // worker waits: a batch is ready
   std::condition_variable done_cv;     // clients wait: results posted
   std::condition_variable space_cv;    // submitters wait: a slot freed
+  std::condition_variable drained_cv;  // destroy waits: no thread inside
   std::vector<Slot> slots;
   int64_t next_ticket = 0;
   int64_t n_pending = 0;     // slots in kPending
+  int64_t n_inside = 0;      // threads currently inside a blocking entry
   bool shutdown = false;
   Clock::time_point oldest_pending;  // arrival of the oldest kPending
 
@@ -64,6 +66,18 @@ struct Batcher {
   Slot* find(int64_t ticket) {
     Slot& s = slots[static_cast<size_t>(ticket % max_pending)];
     return s.ticket == ticket ? &s : nullptr;
+  }
+};
+
+// RAII tracker of threads inside a blocking entry point. Construct/destroy
+// with the Batcher mutex HELD (declare after the unique_lock so it unwinds
+// before the lock releases); destroy() drains on it before deleting, so a
+// shutdown can never free the mutex/condvars under a live waiter.
+struct Inside {
+  Batcher* b;
+  explicit Inside(Batcher* bp) : b(bp) { ++b->n_inside; }
+  ~Inside() {
+    if (--b->n_inside == 0 && b->shutdown) b->drained_cv.notify_all();
   }
 };
 
@@ -90,20 +104,31 @@ void iins_batcher_destroy(void* h) {
   auto* b = static_cast<Batcher*>(h);
   if (!b) return;
   {
-    std::lock_guard<std::mutex> lk(b->mu);
+    std::unique_lock<std::mutex> lk(b->mu);
     b->shutdown = true;
+    b->pending_cv.notify_all();
+    b->done_cv.notify_all();
+    b->space_cv.notify_all();
+    // every blocking entry re-checks shutdown on wake and unwinds; wait
+    // until the last one is out before freeing the sync primitives
+    b->drained_cv.wait(lk, [b] { return b->n_inside == 0; });
   }
-  b->pending_cv.notify_all();
-  b->done_cv.notify_all();
-  b->space_cv.notify_all();
   delete b;
 }
 
-// Submit ONE request. Blocks while the slot table is full (natural
-// back-pressure); returns the ticket, or -1 on shutdown.
-int64_t iins_batcher_submit(void* h, const double* cir) {
+// Submit ONE request with a bounded wait for ring space. Returns the
+// ticket, -1 on shutdown, or -2 when no slot freed within wait_ms
+// (wait_ms < 0 = wait forever). Callers that hold uncollected tickets of
+// their own MUST use a finite wait and drain one of them on -2, or a full
+// ring of mutually-blocked submitters deadlocks (see iinsvae_server.cc
+// handle_conn for the canonical pattern).
+int64_t iins_batcher_submit_wait(void* h, const double* cir, double wait_ms) {
   auto* b = static_cast<Batcher*>(h);
   std::unique_lock<std::mutex> lk(b->mu);
+  Inside guard(b);
+  const bool bounded = wait_ms >= 0;
+  auto until = Clock::now() +
+      std::chrono::duration<double, std::milli>(bounded ? wait_ms : 0.0);
   for (;;) {
     if (b->shutdown) return -1;
     int64_t t = b->next_ticket;
@@ -126,8 +151,25 @@ int64_t iins_batcher_submit(void* h, const double* cir) {
       if (b->n_pending >= b->batch_size) b->pending_cv.notify_one();
       return t;
     }
-    b->space_cv.wait(lk);
+    if (bounded) {
+      if (b->space_cv.wait_until(lk, until) == std::cv_status::timeout &&
+          Clock::now() >= until)
+        return -2;
+    } else {
+      b->space_cv.wait(lk);
+    }
   }
+}
+
+// Submit ONE request. Blocks while the slot table is full (natural
+// back-pressure); returns the ticket, or -1 on shutdown.
+int64_t iins_batcher_submit(void* h, const double* cir) {
+  return iins_batcher_submit_wait(h, cir, -1.0);
+}
+
+// Slot-table capacity (the submit back-pressure bound).
+int64_t iins_batcher_capacity(void* h) {
+  return static_cast<Batcher*>(h)->max_pending;
 }
 
 // Worker: pull up to batch_size pending requests. Returns immediately with
@@ -139,6 +181,7 @@ int64_t iins_batcher_next_batch(void* h, double* cir_out, int64_t* tickets_out,
                                 double wait_ms) {
   auto* b = static_cast<Batcher*>(h);
   std::unique_lock<std::mutex> lk(b->mu);
+  Inside guard(b);
   auto overall = Clock::now() + std::chrono::duration<double, std::milli>(wait_ms);
   for (;;) {
     if (b->shutdown) return -1;
@@ -194,6 +237,10 @@ void iins_batcher_post(void* h, const int64_t* tickets, const double* err,
     }
   }
   b->done_cv.notify_all();
+  // kDone slots are reclaimable by submit's abandoned-result branch, so a
+  // submitter blocked on a full ring must be re-woken here too — without
+  // this, a ring whose head slot's owner timed out never frees up.
+  b->space_cv.notify_all();
 }
 
 // Client: block until the ticket's results are posted (or wait_ms passes).
@@ -204,6 +251,7 @@ int iins_batcher_wait(void* h, int64_t ticket, double* err, int64_t* label,
                       double* extra_out, double wait_ms) {
   auto* b = static_cast<Batcher*>(h);
   std::unique_lock<std::mutex> lk(b->mu);
+  Inside guard(b);
   auto until = Clock::now() + std::chrono::duration<double, std::milli>(wait_ms);
   for (;;) {
     if (b->shutdown) return -1;

@@ -4,19 +4,30 @@
 // Wire protocol (little-endian, caller = any client):
 //   request:  int64 n, then n * cir_len doubles
 //   response: n * { double err, int64 label, n_extra doubles }
+// A row whose result could not be produced (batcher shutdown, compute
+// failure, per-ticket timeout) is reported honestly as err = NaN,
+// label = -1 — never as a fabricated 0.0 prediction.
 // n_extra is a property of the batcher the listener fronts (0 = basic
 // payload; richer payloads carry env-class probabilities and/or the
 // reconstructed CIR — runtime/batcher.py::serve_predictor). Each row is
 // submitted to the batcher individually, so rows from many connections
-// share batches; the per-connection thread waits on its own tickets and
-// streams the responses back in order.
+// share batches. The per-connection thread pipelines: it keeps at most a
+// bounded window of its own tickets outstanding and drains the oldest
+// (streaming responses back in order) before submitting further rows, so
+// a request larger than the batcher ring — or many concurrent
+// connections — can never wedge submit on a ring made up of its own
+// uncollected results.
 //
 // The reference has no network surface at all; this is a new-build
 // component (SURVEY.md §5.8). Zero dependencies beyond pthreads/libc.
 
 #include <atomic>
+#include <cmath>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <deque>
+#include <limits>
 #include <mutex>
 #include <netinet/in.h>
 #include <netinet/tcp.h>
@@ -28,10 +39,11 @@
 #include <vector>
 
 extern "C" {
-int64_t iins_batcher_submit(void* h, const double* cir);
+int64_t iins_batcher_submit_wait(void* h, const double* cir, double wait_ms);
 int iins_batcher_wait(void* h, int64_t ticket, double* err, int64_t* label,
                       double* extra_out, double wait_ms);
 int64_t iins_batcher_n_extra(void* h);
+int64_t iins_batcher_capacity(void* h);
 }
 
 namespace {
@@ -43,8 +55,9 @@ struct Server {
   std::atomic<bool> running{true};
   std::thread acceptor;
   std::mutex mu;
+  std::condition_variable drained_cv;  // stop() waits: all handlers exited
   std::set<int> conn_fds;
-  std::vector<std::thread> conns;
+  int64_t n_active = 0;  // live handler threads (detached; see accept_loop)
 };
 
 bool read_full(int fd, void* buf, size_t n) {
@@ -73,43 +86,70 @@ void handle_conn(Server* s, int fd) {
   // per-row responses: defeat Nagle on TCP (harmless no-op on unix fds)
   int one = 1;
   setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+  const int64_t nx = iins_batcher_n_extra(s->batcher);
+  // outstanding-window bound: well under the ring so rows from many
+  // concurrent connections still share it, and a single huge request
+  // (n up to 1<<20 > the ring) drains itself instead of wedging submit
+  const int64_t window =
+      std::max<int64_t>(1, iins_batcher_capacity(s->batcher) / 8);
   std::vector<double> cir(static_cast<size_t>(s->cir_len));
+  std::vector<double> row(2 + static_cast<size_t>(nx));
+
+  // drain the oldest outstanding ticket and stream its response row;
+  // failures (timeout/shutdown) are reported as err=NaN, label=-1
+  auto drain_one = [&](std::deque<int64_t>& outstanding) {
+    int64_t t = outstanding.front();
+    outstanding.pop_front();
+    double err = 0.0;
+    int64_t label = -1;
+    // wait in slices so server stop doesn't hang behind a full 60 s
+    // per-ticket timeout
+    int rc = t >= 0 ? 0 : -1;
+    for (int k = 0; rc == 0 && k < 240; ++k) {
+      rc = iins_batcher_wait(s->batcher, t, &err, &label, row.data() + 2,
+                             250.0);
+      if (rc == 0 && !s->running.load()) rc = -1;
+    }
+    if (rc != 1) {
+      err = std::numeric_limits<double>::quiet_NaN();
+      label = -1;
+      std::memset(row.data() + 2, 0,
+                  sizeof(double) * static_cast<size_t>(nx));
+    }
+    row[0] = err;
+    std::memcpy(&row[1], &label, sizeof(int64_t));
+    return write_full(fd, row.data(), sizeof(double) * row.size());
+  };
+
   while (s->running.load()) {
     int64_t n = 0;
     if (!read_full(fd, &n, sizeof(n)) || n <= 0 || n > (1 << 20)) break;
-    std::vector<int64_t> tickets(static_cast<size_t>(n));
+    std::deque<int64_t> outstanding;
     bool ok = true;
     for (int64_t i = 0; i < n && ok; ++i) {
       ok = read_full(fd, cir.data(), sizeof(double) * cir.size());
-      if (ok) {
-        tickets[static_cast<size_t>(i)] =
-            iins_batcher_submit(s->batcher, cir.data());
-        if (tickets[static_cast<size_t>(i)] < 0) ok = false;
+      if (!ok) break;
+      // never block in submit while holding a full window (or, on a
+      // contended ring, ANY collectable ticket): drain ours first so the
+      // ring always makes progress
+      while (ok && static_cast<int64_t>(outstanding.size()) >= window)
+        ok = drain_one(outstanding);
+      int64_t t = -2;
+      while (ok && t == -2) {
+        t = iins_batcher_submit_wait(s->batcher, cir.data(), 100.0);
+        if (t == -2 && !outstanding.empty()) ok = drain_one(outstanding);
+        if (!s->running.load()) { t = -1; }
       }
+      if (!ok) break;
+      outstanding.push_back(t);  // t = -1 on shutdown -> NaN row on drain
     }
-    if (!ok) break;
-    const int64_t nx = iins_batcher_n_extra(s->batcher);
-    std::vector<double> row(2 + static_cast<size_t>(nx));
-    for (int64_t i = 0; i < n; ++i) {
-      double err = 0.0;
-      int64_t label = -1;
-      int rc = iins_batcher_wait(s->batcher, tickets[static_cast<size_t>(i)],
-                                 &err, &label, row.data() + 2, 60e3);
-      if (rc != 1) {
-        err = 0.0;
-        label = -1;
-        std::memset(row.data() + 2, 0, sizeof(double) * static_cast<size_t>(nx));
-      }
-      row[0] = err;
-      std::memcpy(&row[1], &label, sizeof(int64_t));
-      if (!write_full(fd, row.data(),
-                      sizeof(double) * row.size())) { ok = false; break; }
-    }
+    while (ok && !outstanding.empty()) ok = drain_one(outstanding);
     if (!ok) break;
   }
   close(fd);
   std::lock_guard<std::mutex> lk(s->mu);
   s->conn_fds.erase(fd);
+  if (--s->n_active == 0) s->drained_cv.notify_all();
 }
 
 void accept_loop(Server* s) {
@@ -119,9 +159,13 @@ void accept_loop(Server* s) {
       if (!s->running.load()) break;
       continue;
     }
+    // handlers run detached (a long-lived daemon would otherwise
+    // accumulate one joinable std::thread object per connection forever);
+    // n_active + drained_cv give stop() its join point instead
     std::lock_guard<std::mutex> lk(s->mu);
     s->conn_fds.insert(fd);
-    s->conns.emplace_back(handle_conn, s, fd);
+    ++s->n_active;
+    std::thread(handle_conn, s, fd).detach();
   }
 }
 
@@ -201,7 +245,12 @@ void iins_server_stop(void* h) {
     for (int fd : s->conn_fds) shutdown(fd, SHUT_RDWR);
   }
   s->acceptor.join();
-  for (auto& t : s->conns) t.join();
+  // handlers are detached; wait until the last one has exited (each sees
+  // running == false / its fd shut down and unwinds promptly)
+  {
+    std::unique_lock<std::mutex> lk(s->mu);
+    s->drained_cv.wait(lk, [s] { return s->n_active == 0; });
+  }
   delete s;
 }
 

@@ -268,3 +268,77 @@ def test_serve_predictor_probs_and_recon():
         assert label == int(want.label[i])
         np.testing.assert_allclose(extra[:5], want.label_probs[i], atol=1e-5)
         np.testing.assert_allclose(extra[5:], want.recon[i], atol=1e-5)
+
+
+def test_request_larger_than_ring(tmp_path):
+    """A single socket request with more rows than the batcher ring must
+    stream through (the per-connection handler drains its own tickets
+    instead of wedging submit on a ring full of its uncollected results —
+    pre-fix this deadlocked the connection forever)."""
+    from iinsvae_tpu.runtime.batcher import SocketFront, socket_client_request
+
+    sock = str(tmp_path / "iins_big.sock")
+    with BatchServer(_compute, cir_len=L, batch_size=8, max_pending=32,
+                     deadline_ms=2.0) as srv:
+        if not srv.native:
+            pytest.skip("native plane unavailable")
+        with SocketFront(srv, sock):
+            n = 100  # > max_pending = 32
+            cirs = np.random.default_rng(7).normal(size=(n, L))
+            cirs[:, 0] = np.arange(n) % 5
+            err, label = socket_client_request(sock, cirs, timeout_s=30.0)
+            np.testing.assert_allclose(err, cirs.mean(axis=1), rtol=1e-12)
+            np.testing.assert_array_equal(label, np.arange(n) % 5)
+
+
+def test_oversized_concurrent_requests(tmp_path):
+    """Several connections whose combined rows exceed the ring share it
+    without deadlock, each getting its own results back in order."""
+    from iinsvae_tpu.runtime.batcher import SocketFront, socket_client_request
+
+    sock = str(tmp_path / "iins_many.sock")
+    with BatchServer(_compute, cir_len=L, batch_size=8, max_pending=32,
+                     deadline_ms=2.0) as srv:
+        if not srv.native:
+            pytest.skip("native plane unavailable")
+        with SocketFront(srv, sock):
+            outs = [None] * 4
+
+            def client(i):
+                cirs = np.random.default_rng(11 + i).normal(size=(40, L))
+                cirs[:, 0] = i
+                outs[i] = (cirs, *socket_client_request(
+                    sock, cirs, timeout_s=30.0))
+
+            threads = [threading.Thread(target=client, args=(i,))
+                       for i in range(4)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            for i, (cirs, err, label) in enumerate(outs):
+                np.testing.assert_allclose(err, cirs.mean(axis=1), rtol=1e-12)
+                assert (label == i).all()
+
+
+def test_compute_failure_posts_nan_and_recovers():
+    """A compute_fn exception must not kill the worker: the pulled batch's
+    clients get honest failure rows (err=NaN, label=-1) immediately, and
+    the NEXT batch is served normally."""
+    calls = {"n": 0}
+
+    def flaky(cirs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient backend failure")
+        return _compute(cirs)
+
+    with BatchServer(flaky, cir_len=L, batch_size=4, deadline_ms=5.0) as srv:
+        x = np.full(L, 2.0)
+        bad = srv.submit(x, timeout_s=10.0)
+        assert bad is not None, "failure must unblock the client, not time out"
+        assert np.isnan(bad[0]) and bad[1] == -1
+        good = srv.submit(x, timeout_s=10.0)
+        assert good is not None
+        np.testing.assert_allclose(good[0], 2.0, rtol=1e-12)
+        assert good[1] == 2

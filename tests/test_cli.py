@@ -175,3 +175,27 @@ def test_serve_main_selftest(semi_run, capsys):
     assert "self-test ok: 16 requests" in out
     # --probs wires the richer payload through serve_predictor
     assert "payload=err,label+5" in out
+
+
+def test_resume_matches_continuous_run_with_active_decay(tmp_path):
+    """Resume must continue the LR schedule, not double-count it: a run
+    checkpointed at epoch 2 and resumed to 4 lands on EXACTLY the params
+    of an uninterrupted 4-epoch run (decay active from epoch 1, so any
+    schedule offset error shifts the LR and diverges the trajectories —
+    the pre-fix bug resumed at the 2N-epoch decay point)."""
+    import jax
+
+    from iinsvae_tpu.cli.train_semi import main
+
+    common = dict(n_epochs=4, decay_epoch=1, checkpoint_interval=2)
+    tmp_a = str(tmp_path / "continuous")
+    state_a, _ = main(argv=_argv(tmp_a, **common))
+
+    tmp_b = str(tmp_path / "resumed")
+    main(argv=_argv(tmp_b, **{**common, "n_epochs": 2}))
+    state_b, _ = main(argv=_argv(tmp_b, **common, epoch=2))
+
+    flat_a = jax.tree.leaves(state_a.params)
+    flat_b = jax.tree.leaves(state_b.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
