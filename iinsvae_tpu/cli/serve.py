@@ -89,6 +89,13 @@ def main(argv=None, cfg: Config | None = None):
                   f"{dt:.2f}s, err range ({errs.min():.4f}, {errs.max():.4f})",
                   flush=True)
     finally:
+        st = server.stats()
+        print(f"[serve] stats: {st['submitted']} submitted, "
+              f"{st['batches']} batches (mean occupancy "
+              f"{st['mean_occupancy']:.1f}/{ns.serve_batch}, "
+              f"{st['full_batches']} full), mean queue "
+              f"{st['mean_queue_ms']:.2f} ms, {st['wait_timeouts']} client "
+              f"timeouts, {st['reclaimed']} reclaimed", flush=True)
         server.stop()
 
 

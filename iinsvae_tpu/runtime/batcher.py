@@ -50,6 +50,7 @@ def _load_batcher():
             ctypes.c_void_p, _i64, _p_d, _p_i64, _p_d, ctypes.c_double]
         lib.iins_batcher_pending.restype = _i64
         lib.iins_batcher_pending.argtypes = [ctypes.c_void_p]
+        lib.iins_batcher_stats.argtypes = [ctypes.c_void_p, _p_i64]
         lib.iins_batcher_n_extra.restype = _i64
         lib.iins_batcher_n_extra.argtypes = [ctypes.c_void_p]
         lib._batcher_bound = True
@@ -69,8 +70,13 @@ class _PyBatcher:
         self.next_ticket = 0
         self.oldest = None
         self.shutdown = False
+        self.arrivals = {}  # ticket -> submit time (queue-latency stats)
+        # same counter set/order as the native plane's iins_batcher_stats
+        self.st = dict(submitted=0, batches=0, full_batches=0, rows=0,
+                       posted=0, reclaimed=0, wait_timeouts=0, queue_ns=0)
 
     def submit(self, cir):
+        import time
         with self.cv:
             while (len(self.pending) + len(self.done) >= self.max_pending
                    and not self.shutdown):
@@ -79,6 +85,7 @@ class _PyBatcher:
                     # timed out) rather than deadlocking the ring — same
                     # policy as the native plane
                     self.done.pop(min(self.done))
+                    self.st["reclaimed"] += 1
                     break
                 self.cv.wait()
             if self.shutdown:
@@ -86,9 +93,10 @@ class _PyBatcher:
             t = self.next_ticket
             self.next_ticket += 1
             self.pending[t] = np.array(cir, dtype=np.float64)
+            self.arrivals[t] = time.monotonic()
             if self.oldest is None:
-                import time
-                self.oldest = time.monotonic()
+                self.oldest = self.arrivals[t]
+            self.st["submitted"] += 1
             self.cv.notify_all()
             return t
 
@@ -112,7 +120,13 @@ class _PyBatcher:
                 return None, None
             ts = sorted(self.pending)[: self.batch_size]
             cirs = np.stack([self.pending.pop(t) for t in ts])
-            self.oldest = time.monotonic() if self.pending else None
+            now = time.monotonic()
+            self.st["batches"] += 1
+            self.st["full_batches"] += len(ts) == self.batch_size
+            self.st["rows"] += len(ts)
+            self.st["queue_ns"] += int(sum(
+                (now - self.arrivals.pop(t)) * 1e9 for t in ts))
+            self.oldest = now if self.pending else None
             return ts, cirs
 
     def post(self, tickets, err, label, extra=None):
@@ -122,6 +136,7 @@ class _PyBatcher:
                     self.done[t] = (float(e), int(c))
                 else:
                     self.done[t] = (float(e), int(c), np.array(extra[i]))
+                self.st["posted"] += 1
             self.cv.notify_all()
 
     def wait(self, ticket, wait_s):
@@ -131,6 +146,7 @@ class _PyBatcher:
             while ticket not in self.done and not self.shutdown:
                 left = until - time.monotonic()
                 if left <= 0:
+                    self.st["wait_timeouts"] += 1
                     return None
                 self.cv.wait(left)
             if self.shutdown:
@@ -143,6 +159,21 @@ class _PyBatcher:
         with self.cv:
             self.shutdown = True
             self.cv.notify_all()
+
+
+def _derive_stats(buf) -> dict:
+    """9-counter snapshot (iins_batcher_stats order) -> the stats dict."""
+    raw = dict(submitted=int(buf[0]), batches=int(buf[1]),
+               full_batches=int(buf[2]), rows_dispatched=int(buf[3]),
+               rows_posted=int(buf[4]), reclaimed=int(buf[5]),
+               wait_timeouts=int(buf[6]), pending=int(buf[8]))
+    queue_ns = int(buf[7])
+    raw["mean_occupancy"] = (
+        raw["rows_dispatched"] / raw["batches"] if raw["batches"] else 0.0)
+    raw["mean_queue_ms"] = (
+        queue_ns / raw["rows_dispatched"] / 1e6
+        if raw["rows_dispatched"] else 0.0)
+    return raw
 
 
 class BatchServer:
@@ -262,6 +293,24 @@ class BatchServer:
             return int(self._lib.iins_batcher_pending(self._h))
         with self._py.cv:
             return len(self._py.pending)
+
+    def stats(self) -> dict:
+        """One consistent snapshot of the serving counters, identical on
+        both planes: submitted / batches / full_batches / rows_dispatched /
+        rows_posted / reclaimed / wait_timeouts / pending, plus the derived
+        mean_occupancy (rows per dispatched batch — how full batches run
+        vs ``batch_size``) and mean_queue_ms (submit→dispatch latency)."""
+        if self._h is not None:
+            buf = np.zeros(9, dtype=np.int64)
+            self._lib.iins_batcher_stats(self._h, buf.ctypes.data_as(_p_i64))
+            return _derive_stats(buf)
+        with self._py.cv:
+            st = dict(self._py.st)
+            pending = len(self._py.pending)
+        return _derive_stats([st["submitted"], st["batches"],
+                              st["full_batches"], st["rows"], st["posted"],
+                              st["reclaimed"], st["wait_timeouts"],
+                              st["queue_ns"], pending])
 
     def stop(self):
         self._stop.set()
@@ -398,6 +447,28 @@ def socket_client_request(addr, cirs: np.ndarray, timeout_s: float = 60.0,
     if n_extra:
         return rec["err"].copy(), rec["label"].copy(), rec["extra"].copy()
     return rec["err"].copy(), rec["label"].copy()
+
+
+def socket_stats_request(addr, timeout_s: float = 10.0) -> dict:
+    """Query a SocketFront/TcpFront server's batcher counters over the
+    wire (header n = -1, response = the 9-int64 snapshot). Same dict as
+    ``BatchServer.stats()`` — lets external operators watch occupancy and
+    queue latency without in-process access."""
+    import socket
+    import struct
+
+    family = socket.AF_UNIX if isinstance(addr, str) else socket.AF_INET
+    with socket.socket(family, socket.SOCK_STREAM) as s:
+        s.settimeout(timeout_s)
+        s.connect(addr)
+        s.sendall(struct.pack("<q", -1))
+        buf = b""
+        while len(buf) < 9 * 8:
+            chunk = s.recv(9 * 8 - len(buf))
+            if not chunk:
+                raise IOError("server closed mid-stats-response")
+            buf += chunk
+    return _derive_stats(np.frombuffer(buf, dtype="<i8"))
 
 
 def serve_predictor(predictor, with_probs: bool = False,

@@ -32,6 +32,7 @@ struct Slot {
   int64_t label = -1;
   std::vector<double> extra; // optional richer payload (n_extra doubles:
                              // env-class probabilities, reconstruction, ...)
+  Clock::time_point arrival; // submit time (queue-latency stats)
 };
 
 struct Batcher {
@@ -52,6 +53,18 @@ struct Batcher {
   int64_t n_inside = 0;      // threads currently inside a blocking entry
   bool shutdown = false;
   Clock::time_point oldest_pending;  // arrival of the oldest kPending
+
+  // Monotonic counters (guarded by mu) — see iins_batcher_stats for the
+  // export order. Derived rates (occupancy, mean queue latency) are
+  // computed caller-side from these.
+  int64_t st_submitted = 0;      // accepted submits
+  int64_t st_batches = 0;        // batches handed to the worker
+  int64_t st_full_batches = 0;   // of those, at full batch_size
+  int64_t st_rows = 0;           // rows dispatched across all batches
+  int64_t st_posted = 0;         // result rows posted to live tickets
+  int64_t st_reclaimed = 0;      // abandoned kDone slots reclaimed
+  int64_t st_wait_timeouts = 0;  // client waits that timed out
+  int64_t st_queue_ns = 0;       // sum of submit->dispatch ns over st_rows
 
   explicit Batcher(int64_t len, int64_t nx, int64_t bs, int64_t cap,
                    double dl_ms)
@@ -139,6 +152,7 @@ int64_t iins_batcher_submit_wait(void* h, const double* cir, double wait_ms) {
       // ring into a permanent submit deadlock
       s.state = kFree;
       s.ticket = -1;
+      ++b->st_reclaimed;
     }
     if (s.state == kFree) {
       s.ticket = t;
@@ -146,8 +160,10 @@ int64_t iins_batcher_submit_wait(void* h, const double* cir, double wait_ms) {
       std::memcpy(s.cir.data(), cir,
                   sizeof(double) * static_cast<size_t>(b->cir_len));
       b->next_ticket = t + 1;
-      if (b->n_pending == 0) b->oldest_pending = Clock::now();
+      s.arrival = Clock::now();
+      if (b->n_pending == 0) b->oldest_pending = s.arrival;
       ++b->n_pending;
+      ++b->st_submitted;
       if (b->n_pending >= b->batch_size) b->pending_cv.notify_one();
       return t;
     }
@@ -198,6 +214,7 @@ int64_t iins_batcher_next_batch(void* h, double* cir_out, int64_t* tickets_out,
     }
   }
   int64_t n = 0;
+  auto now = Clock::now();
   // oldest-first: scan tickets upward from the smallest live one
   int64_t start = b->next_ticket - b->max_pending;
   if (start < 0) start = 0;
@@ -209,11 +226,18 @@ int64_t iins_batcher_next_batch(void* h, double* cir_out, int64_t* tickets_out,
       tickets_out[n] = t;
       s->state = kInFlight;
       --b->n_pending;
+      b->st_queue_ns += std::chrono::duration_cast<std::chrono::nanoseconds>(
+          now - s->arrival).count();
       ++n;
     }
   }
+  if (n > 0) {
+    ++b->st_batches;
+    if (n == b->batch_size) ++b->st_full_batches;
+    b->st_rows += n;
+  }
   // reset the deadline clock for whatever pending requests remain
-  if (b->n_pending > 0) b->oldest_pending = Clock::now();
+  if (b->n_pending > 0) b->oldest_pending = now;
   return n;
 }
 
@@ -233,6 +257,7 @@ void iins_batcher_post(void* h, const int64_t* tickets, const double* err,
           std::memcpy(s->extra.data(), extra + i * b->n_extra,
                       sizeof(double) * static_cast<size_t>(b->n_extra));
         s->state = kDone;
+        ++b->st_posted;
       }
     }
   }
@@ -269,8 +294,10 @@ int iins_batcher_wait(void* h, int64_t ticket, double* err, int64_t* label,
       return 1;
     }
     if (b->done_cv.wait_until(lk, until) == std::cv_status::timeout &&
-        Clock::now() >= until)
+        Clock::now() >= until) {
+      ++b->st_wait_timeouts;
       return 0;
+    }
   }
 }
 
@@ -279,6 +306,25 @@ int64_t iins_batcher_pending(void* h) {
   auto* b = static_cast<Batcher*>(h);
   std::lock_guard<std::mutex> lk(b->mu);
   return b->n_pending;
+}
+
+// Observability: one consistent snapshot of the monotonic counters.
+// out[9]: {submitted, batches, full_batches, rows_dispatched, rows_posted,
+//          reclaimed, wait_timeouts, queue_ns_total, pending_now}.
+// Derived caller-side: mean occupancy = rows/batches, mean queue latency =
+// queue_ns_total / rows.
+void iins_batcher_stats(void* h, int64_t* out) {
+  auto* b = static_cast<Batcher*>(h);
+  std::lock_guard<std::mutex> lk(b->mu);
+  out[0] = b->st_submitted;
+  out[1] = b->st_batches;
+  out[2] = b->st_full_batches;
+  out[3] = b->st_rows;
+  out[4] = b->st_posted;
+  out[5] = b->st_reclaimed;
+  out[6] = b->st_wait_timeouts;
+  out[7] = b->st_queue_ns;
+  out[8] = b->n_pending;
 }
 
 }  // extern "C"

@@ -4,6 +4,9 @@
 // Wire protocol (little-endian, caller = any client):
 //   request:  int64 n, then n * cir_len doubles
 //   response: n * { double err, int64 label, n_extra doubles }
+// Stats query: a header of n = -1 (no payload) returns the batcher's
+// 9-counter snapshot (iins_batcher_stats order) as 9 int64s; the
+// connection then accepts further requests.
 // A row whose result could not be produced (batcher shutdown, compute
 // failure, per-ticket timeout) is reported honestly as err = NaN,
 // label = -1 — never as a fabricated 0.0 prediction.
@@ -44,6 +47,7 @@ int iins_batcher_wait(void* h, int64_t ticket, double* err, int64_t* label,
                       double* extra_out, double wait_ms);
 int64_t iins_batcher_n_extra(void* h);
 int64_t iins_batcher_capacity(void* h);
+void iins_batcher_stats(void* h, int64_t* out);
 }
 
 namespace {
@@ -123,7 +127,14 @@ void handle_conn(Server* s, int fd) {
 
   while (s->running.load()) {
     int64_t n = 0;
-    if (!read_full(fd, &n, sizeof(n)) || n <= 0 || n > (1 << 20)) break;
+    if (!read_full(fd, &n, sizeof(n)) || n == 0 || n < -1 || n > (1 << 20))
+      break;
+    if (n == -1) {  // stats query: reply with the counter snapshot
+      int64_t st[9];
+      iins_batcher_stats(s->batcher, st);
+      if (!write_full(fd, st, sizeof(st))) break;
+      continue;
+    }
     std::deque<int64_t> outstanding;
     bool ok = true;
     for (int64_t i = 0; i < n && ok; ++i) {

@@ -342,3 +342,81 @@ def test_compute_failure_posts_nan_and_recovers():
         assert good is not None
         np.testing.assert_allclose(good[0], 2.0, rtol=1e-12)
         assert good[1] == 2
+
+
+@pytest.mark.parametrize("prefer_native", [True, False])
+def test_stats_counters(prefer_native):
+    if prefer_native and _load_batcher() is None:
+        pytest.skip("native plane unavailable")
+    with BatchServer(_compute, cir_len=L, batch_size=8,
+                     deadline_ms=5.0, prefer_native=prefer_native) as srv:
+        n = 32
+        _exercise(srv, n_clients=n)
+        st = srv.stats()
+        assert st["submitted"] == n
+        assert st["rows_dispatched"] == n
+        assert st["rows_posted"] == n
+        assert st["pending"] == 0
+        assert 1 <= st["batches"] <= n
+        assert st["full_batches"] <= st["batches"]
+        assert st["mean_occupancy"] == pytest.approx(n / st["batches"])
+        # every result was collected in time on an idle box
+        assert st["wait_timeouts"] == 0
+        assert st["reclaimed"] == 0
+        # queue latency is positive and bounded by the 5 ms deadline plus
+        # generous scheduling slack
+        assert 0.0 < st["mean_queue_ms"] < 1000.0
+
+
+@pytest.mark.parametrize("prefer_native", [True, False])
+def test_stats_sees_timeout_and_reclaim(prefer_native):
+    if prefer_native and _load_batcher() is None:
+        pytest.skip("native plane unavailable")
+    import time
+
+    ev = threading.Event()
+
+    def slow_compute(cirs):
+        ev.wait(2.0)  # outlive the client's wait below
+        return _compute(cirs)
+
+    with BatchServer(slow_compute, cir_len=L, batch_size=1, max_pending=1,
+                     deadline_ms=1.0, prefer_native=prefer_native) as srv:
+        out = srv.submit(np.zeros(L), timeout_s=0.05)
+        assert out is None  # timed out while compute slept
+        ev.set()
+        # wait for the worker to post the now-abandoned result
+        deadline = time.monotonic() + 5.0
+        while srv.stats()["rows_posted"] < 1 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        # the next submit must reclaim the abandoned slot and succeed
+        out = srv.submit(np.full(L, 3.0), timeout_s=10.0)
+        assert out is not None and out[1] == 3
+        st = srv.stats()
+        assert st["wait_timeouts"] == 1
+        assert st["reclaimed"] == 1
+        assert st["submitted"] == 2
+
+
+def test_socket_stats_query(tmp_path):
+    from iinsvae_tpu.runtime.batcher import (
+        SocketFront, socket_client_request, socket_stats_request,
+    )
+
+    sock = str(tmp_path / "iins_stats.sock")
+    with BatchServer(_compute, cir_len=L, batch_size=8,
+                     deadline_ms=5.0) as srv:
+        if not srv.native:
+            pytest.skip("native plane unavailable")
+        with SocketFront(srv, sock):
+            rng = np.random.default_rng(3)
+            cirs = rng.normal(size=(12, L))
+            err, label = socket_client_request(sock, cirs)
+            assert np.isfinite(err).all()
+            st = socket_stats_request(sock)
+            assert st["submitted"] == 12
+            assert st["rows_posted"] == 12
+            assert st == srv.stats()  # same snapshot either way
+            # the stats connection accepts further data requests
+            err2, _ = socket_client_request(sock, cirs[:3])
+            assert np.isfinite(err2).all()
