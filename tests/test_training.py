@@ -1,6 +1,7 @@
 """Training-layer tests: loss numerics, schedule, one-epoch smoke,
 loss-decreases, and the multi-device mesh path."""
 
+import chex
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -197,3 +198,26 @@ def test_restore_best_missing(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         restore_best(str(tmp_path / "none"), None)
+
+
+def test_training_is_bit_deterministic():
+    """Two whole-epoch runs from the same seed must produce bit-identical
+    params — guards the explicit PRNG key plumbing (shuffle, supervision
+    mask, reparameterization, dropout) against hidden global-state or
+    host-randomness leaks. The resume-equals-continuous CLI test depends
+    on this property; this pins it at the library layer."""
+    data = _data(48)
+
+    def run():
+        _, state = _semi_state()
+        run_epoch = make_epoch_runner(
+            make_semi_train_step(IInsVAE(cir_len=L, num_classes=5), 0.5),
+            batch_size=16)
+        key = jax.random.PRNGKey(7)
+        for _ in range(3):
+            key, ek = jax.random.split(key)
+            state, _ = run_epoch(state, data, ek)
+        return state.params
+
+    p1, p2 = run(), run()
+    chex.assert_trees_all_equal(p1, p2)
