@@ -37,6 +37,10 @@ def main(argv=None, cfg: Config | None = None):
     extra.add_argument("--serve_batch", type=int, default=256)
     extra.add_argument("--deadline_ms", type=float, default=3.0)
     extra.add_argument("--selftest_n", type=int, default=64)
+    extra.add_argument("--serve_devices", type=int, default=1,
+                       help="data-parallel serving: one device-pinned "
+                            "predictor + worker per chip, sharing the "
+                            "request queue")
     ns, rest = extra.parse_known_args(argv)
     cfg = cfg or parse(rest)
 
@@ -48,14 +52,26 @@ def main(argv=None, cfg: Config | None = None):
     predictor = Predictor.from_checkpoint(cfg, epoch=cfg.epoch if cfg.epoch > 0 else None,
                                           batch_size=ns.serve_batch,
                                           return_recon=ns.recon)
-    server = serve_predictor(predictor, cir_len=cfg.cir_len,
+    predictors = predictor
+    if ns.serve_devices > 1:
+        import jax
+        devs = jax.devices()
+        if ns.serve_devices > len(devs):
+            raise ValueError(
+                f"--serve_devices {ns.serve_devices} > {len(devs)} visible "
+                f"devices")
+        predictors = [Predictor(predictor.model, predictor.state,
+                                batch_size=ns.serve_batch,
+                                return_recon=ns.recon, device=d)
+                      for d in devs[: ns.serve_devices]]
+    server = serve_predictor(predictors, cir_len=cfg.cir_len,
                              batch_size=ns.serve_batch,
                              deadline_ms=ns.deadline_ms,
                              with_probs=ns.probs, with_recon=ns.recon)
     plane = "native" if server.native else "python-fallback"
     print(f"[serve] predictor ready (cir_len={cfg.cir_len}, "
-          f"batch={ns.serve_batch}, plane={plane}, "
-          f"payload=err,label+{server.n_extra})", flush=True)
+          f"batch={ns.serve_batch}, workers={len(server._compute_fns)}, "
+          f"plane={plane}, payload=err,label+{server.n_extra})", flush=True)
 
     try:
         if ns.socket or ns.tcp_port >= 0:

@@ -183,13 +183,23 @@ class BatchServer:
     worker thread pulls batches from the native plane and posts results;
     ``submit`` is thread-safe and blocks until this request's result lands.
     Use as a context manager (``stop()`` joins the worker BEFORE the native
-    handle is destroyed — outstanding waits must finish first)."""
+    handle is destroyed — outstanding waits must finish first).
 
-    def __init__(self, compute_fn: Callable, cir_len: int,
+    ``compute_fn`` may also be a LIST of functions — one worker thread per
+    entry, all pulling from the same queue (the batcher's next_batch is
+    safe for concurrent pullers). That is the data-parallel serving path:
+    one device-pinned compute per chip; each XLA dispatch releases the
+    GIL, so workers overlap on real hardware."""
+
+    def __init__(self, compute_fn, cir_len: int,
                  batch_size: int = 64, max_pending: int = 1024,
                  deadline_ms: float = 5.0, prefer_native: bool = True,
                  n_extra: int = 0):
-        self.compute_fn = compute_fn
+        fns = (list(compute_fn) if isinstance(compute_fn, (list, tuple))
+               else [compute_fn])
+        assert fns, "need at least one compute_fn"
+        self.compute_fn = fns[0]
+        self._compute_fns = fns
         self.cir_len, self.batch_size = cir_len, batch_size
         self.n_extra = n_extra
         self._lib = _load_batcher() if prefer_native else None
@@ -204,14 +214,17 @@ class BatchServer:
             self._h = None
             self._py = _PyBatcher(cir_len, batch_size, max_pending, deadline_ms)
         self._stop = threading.Event()
-        self._worker = threading.Thread(target=self._run, daemon=True)
-        self._worker.start()
+        self._workers = [
+            threading.Thread(target=self._run, args=(fn,), daemon=True)
+            for fn in self._compute_fns]
+        for w in self._workers:
+            w.start()
 
     @property
     def native(self) -> bool:
         return self._h is not None
 
-    def _run(self):
+    def _run(self, compute_fn):
         bs, L = self.batch_size, self.cir_len
         cir_buf = np.empty((bs, L), dtype=np.float64)
         tik_buf = np.empty(bs, dtype=np.int64)
@@ -229,7 +242,7 @@ class BatchServer:
                     continue
                 ts = np.asarray(ts, dtype=np.int64)
             try:
-                out = self.compute_fn(cirs)
+                out = compute_fn(cirs)
                 err = np.ascontiguousarray(
                     np.asarray(out[0], np.float64).reshape(-1))
                 label = np.ascontiguousarray(
@@ -316,14 +329,18 @@ class BatchServer:
         self._stop.set()
         if self._py is not None:
             self._py.stop()
-        # the worker exits within one next_batch slice (50 ms) unless it is
+        # workers exit within one next_batch slice (50 ms) unless one is
         # INSIDE compute_fn — which can legitimately run minutes (first TPU
         # compile of the serving forward is 30 s - 3 min on this image).
         # Destroying the native handle under a live worker is a
         # use-after-free (post would touch freed memory), so wait it out;
         # if the compute is truly hung, leak the handle rather than crash.
-        self._worker.join(timeout=600.0)
-        if self._worker.is_alive():
+        deadline = 600.0
+        import time as _time
+        t0 = _time.monotonic()
+        for w in self._workers:
+            w.join(timeout=max(0.0, deadline - (_time.monotonic() - t0)))
+        if any(w.is_alive() for w in self._workers):
             import logging
             logging.getLogger("iinsvae.serving").error(
                 "serving worker still inside compute_fn after 600 s; "
@@ -477,34 +494,45 @@ def serve_predictor(predictor, with_probs: bool = False,
     batch (padded to the predictor's compiled batch size). cir_len
     defaults to the predictor's model geometry.
 
+    ``predictor`` may be a LIST of Predictors — typically one per chip,
+    each built with ``device=`` pinned to a different jax.Device — giving
+    one worker thread per predictor pulling from the shared queue:
+    data-parallel serving over a slice.
+
     with_probs appends the env-class probabilities to every result;
     with_recon appends the reconstructed CIR (requires a Predictor built
     with return_recon=True). The result row is then
     (err, label, [probs…][recon…])."""
 
+    predictors = (list(predictor) if isinstance(predictor, (list, tuple))
+                  else [predictor])
+    first = predictors[0]
     cir_len = kw.pop("cir_len", None)
     if cir_len is None:
-        cir_len = int(predictor.model.cir_len)
+        cir_len = int(first.model.cir_len)
     n_extra = 0
     if with_probs:
-        n_extra += int(predictor.model.num_classes)
+        n_extra += int(first.model.num_classes)
     if with_recon:
-        if not predictor.return_recon:
+        if not all(p.return_recon for p in predictors):
             raise ValueError("with_recon needs Predictor(return_recon=True)")
         n_extra += cir_len
 
-    def compute(cirs: np.ndarray):
-        pred = predictor(cirs.astype(np.float32))
-        err, label = pred.err_est.reshape(-1), pred.label.reshape(-1)
-        if not n_extra:
-            return err, label
-        parts = []
-        if with_probs:
-            parts.append(pred.label_probs)
-        if with_recon:
-            parts.append(pred.recon)
-        return err, label, np.concatenate(parts, axis=1)
+    def make_compute(p):
+        def compute(cirs: np.ndarray):
+            pred = p(cirs.astype(np.float32))
+            err, label = pred.err_est.reshape(-1), pred.label.reshape(-1)
+            if not n_extra:
+                return err, label
+            parts = []
+            if with_probs:
+                parts.append(pred.label_probs)
+            if with_recon:
+                parts.append(pred.recon)
+            return err, label, np.concatenate(parts, axis=1)
+        return compute
 
-    return BatchServer(compute, cir_len=cir_len,
-                       batch_size=kw.pop("batch_size", predictor.batch_size),
+    return BatchServer([make_compute(p) for p in predictors],
+                       cir_len=cir_len,
+                       batch_size=kw.pop("batch_size", first.batch_size),
                        n_extra=n_extra, **kw)

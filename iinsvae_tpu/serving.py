@@ -29,11 +29,19 @@ class Prediction:
 
 
 class Predictor:
-    def __init__(self, model, state, batch_size: int = 500, return_recon: bool = False):
+    def __init__(self, model, state, batch_size: int = 500,
+                 return_recon: bool = False, device=None):
+        """``device``: an optional jax.Device to pin this predictor to —
+        params live there and inputs are placed there, so jit executes on
+        that chip (committed-argument placement; no deprecated jit
+        device= arg). One Predictor per chip + a multi-worker BatchServer
+        (runtime/batcher.py::serve_predictor with a predictor list) is
+        the data-parallel serving path over a slice."""
         self.model = model
         self.state = state
         self.batch_size = batch_size
         self.return_recon = return_recon
+        self.device = device
 
         @jax.jit
         def _apply(variables, cir):
@@ -45,7 +53,14 @@ class Predictor:
             return res
 
         self._apply = _apply
-        self._variables = {"params": state.params, "batch_stats": state.batch_stats}
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if device is not None:
+            variables = jax.device_put(variables, device)
+        self._variables = variables
+
+    def _put(self, x):
+        return (jnp.asarray(x) if self.device is None
+                else jax.device_put(jnp.asarray(x), self.device))
 
     @classmethod
     def from_checkpoint(cls, cfg, epoch: Optional[int] = None, **kw) -> "Predictor":
@@ -75,7 +90,7 @@ class Predictor:
             if pad:
                 chunk = np.pad(chunk, ((0, pad), (0, 0)))
             # dispatch only — results stay device-resident so chunks pipeline
-            outs.append(self._apply(self._variables, jnp.asarray(chunk)))
+            outs.append(self._apply(self._variables, self._put(chunk)))
         # ONE device->host fetch per output (per-chunk fetches serialize on
         # the tunnel round-trip and cost >100 ms each)
         stacked = [jnp.concatenate([o[j] for o in outs]) for j in range(len(outs[0]))]
@@ -98,7 +113,7 @@ class Predictor:
         bs = self.batch_size
         nb = -(-n // bs)
         pad = nb * bs - n
-        dev = jnp.asarray(np.pad(cir, ((0, pad), (0, 0))).reshape(nb, bs, -1))
+        dev = self._put(np.pad(cir, ((0, pad), (0, 0))).reshape(nb, bs, -1))
 
         model = self.model
         return_recon = self.return_recon

@@ -420,3 +420,87 @@ def test_socket_stats_query(tmp_path):
             # the stats connection accepts further data requests
             err2, _ = socket_client_request(sock, cirs[:3])
             assert np.isfinite(err2).all()
+
+
+@pytest.mark.parametrize("prefer_native", [True, False])
+def test_multi_worker_pulls_concurrently(prefer_native):
+    """Two compute workers must be able to be INSIDE compute at the same
+    time: each blocks on a 2-party barrier, so the test only passes if the
+    second worker pulls the second batch while the first is still busy."""
+    if prefer_native and _load_batcher() is None:
+        pytest.skip("native plane unavailable")
+
+    barrier = threading.Barrier(2)
+    broken = []
+
+    def make_fn():
+        def fn(cirs):
+            try:
+                barrier.wait(timeout=30.0)
+            except threading.BrokenBarrierError:
+                broken.append(True)
+            return _compute(cirs)
+        return fn
+
+    with BatchServer([make_fn(), make_fn()], cir_len=L, batch_size=4,
+                     deadline_ms=5.0, prefer_native=prefer_native) as srv:
+        rng = np.random.default_rng(5)
+        cirs = rng.normal(size=(8, L))
+        cirs[:, 0] = rng.integers(0, 5, 8)
+        results = [None] * 8
+
+        def client(i):
+            results[i] = srv.submit(cirs[i], timeout_s=60.0)
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    assert not broken, "the two workers never overlapped in compute"
+    for i in range(8):
+        assert results[i] is not None
+        np.testing.assert_allclose(results[i][0], cirs[i].mean(), rtol=1e-12)
+        assert results[i][1] == int(round(cirs[i, 0]))
+
+
+def test_serve_predictor_multi_device():
+    """Data-parallel serving: one device-pinned Predictor per (virtual)
+    chip, all pulling from the shared queue — results must be identical
+    to the single-predictor forward whichever device computed them."""
+    from iinsvae_tpu.models import IInsVAE
+    from iinsvae_tpu.serving import Predictor
+    from iinsvae_tpu.runtime.batcher import serve_predictor
+    from iinsvae_tpu.training.optim import make_optimizer
+    from iinsvae_tpu.training.state import create_train_state
+
+    import jax
+    import jax.numpy as jnp
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs >= 2 devices (8-device CPU platform in CI)")
+
+    model = IInsVAE(cir_len=157, num_classes=5, style_dim=16)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.ones((2, 157)))
+    state = create_train_state(
+        model, variables, make_optimizer(n_epochs=2, decay_start_epoch=1))
+    preds = [Predictor(model, state, batch_size=8, device=d)
+             for d in devs[:2]]
+    # params really live on distinct devices
+    leaf0 = jax.tree_util.tree_leaves(preds[0]._variables)[0]
+    leaf1 = jax.tree_util.tree_leaves(preds[1]._variables)[0]
+    assert list(leaf0.devices()) == [devs[0]]
+    assert list(leaf1.devices()) == [devs[1]]
+
+    rng = np.random.default_rng(2)
+    cirs = rng.normal(size=(24, 157)).astype(np.float32)
+    want = Predictor(model, state, batch_size=8)(cirs)  # unpinned oracle
+
+    with serve_predictor(preds, deadline_ms=10.0) as srv:
+        assert len(srv._compute_fns) == 2
+        got = [srv.submit(cirs[i], timeout_s=120.0) for i in range(24)]
+    for i, out in enumerate(got):
+        assert out is not None
+        np.testing.assert_allclose(out[0], want.err_est[i, 0], atol=1e-5)
+        assert out[1] == int(want.label[i])
