@@ -23,11 +23,27 @@ def _compute(cirs):
     return cirs.mean(axis=1), np.zeros(len(cirs), dtype=np.int64)
 
 
-def bench(prefer_native: bool, n_clients: int, reqs_per_client: int):
+def _make_compute(step_ms: float):
+    if step_ms <= 0:
+        return _compute
+
+    def fn(cirs):
+        # stand-in for a fixed-duration accelerator step; time.sleep
+        # releases the GIL exactly like an XLA dispatch does, so N workers
+        # genuinely overlap
+        time.sleep(step_ms / 1e3)
+        return _compute(cirs)
+
+    return fn
+
+
+def bench(prefer_native: bool, n_clients: int, reqs_per_client: int,
+          workers: int = 1, step_ms: float = 0.0):
     lat = []
     lock = threading.Lock()
 
-    with BatchServer(_compute, cir_len=L, batch_size=64, max_pending=4096,
+    fns = [_make_compute(step_ms) for _ in range(workers)]
+    with BatchServer(fns, cir_len=L, batch_size=64, max_pending=4096,
                      deadline_ms=2.0, prefer_native=prefer_native) as srv:
         mode = "native" if srv.native else "python"
 
@@ -56,6 +72,8 @@ def bench(prefer_native: bool, n_clients: int, reqs_per_client: int):
     n = len(lat)
     return {
         "mode": mode,
+        "workers": workers,
+        "step_ms": step_ms,
         "clients": n_clients,
         "requests": n,
         "throughput_rps": round(n / wall),
@@ -68,9 +86,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--clients", type=int, default=64)
     ap.add_argument("--reqs", type=int, default=200)
+    ap.add_argument("--workers", type=int, default=1,
+                    help="compute workers pulling from the shared queue")
+    ap.add_argument("--step_ms", type=float, default=0.0,
+                    help="simulated per-batch compute duration (sleep, "
+                         "GIL-releasing) — shows multi-worker overlap")
     args = ap.parse_args()
     for native in (True, False):
-        print(json.dumps(bench(native, args.clients, args.reqs)), flush=True)
+        print(json.dumps(bench(native, args.clients, args.reqs,
+                               args.workers, args.step_ms)), flush=True)
 
 
 if __name__ == "__main__":
