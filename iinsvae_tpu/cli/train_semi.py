@@ -51,9 +51,17 @@ def build_model(cfg: Config) -> IInsVAE:
 
 def main(argv=None, cfg: Config | None = None):
     cfg = cfg or parse(argv)
+    # multi-host: join the cluster BEFORE anything touches the jax backend
+    from iinsvae_tpu.parallel import multihost as mh
+
+    distributed = mh.init_distributed(
+        cfg.dist_coordinator, cfg.dist_procs, cfg.dist_rank
+    )
+    primary = mh.is_primary() if distributed else True
     model_path = semi_model_dir(cfg)
     result_path = semi_result_dir(cfg)
-    logger = setup_logging(result_path, "train_log.log")
+    log_name = "train_log.log" if primary else f"train_log.rank{cfg.dist_rank}.log"
+    logger = setup_logging(result_path, log_name)
     logger.info(str(cfg.to_dict()))
 
     data_train, data_test = resolve_data(cfg)
@@ -72,7 +80,34 @@ def main(argv=None, cfg: Config | None = None):
         state = restore_checkpoint(model_path, cfg.epoch, state)
         logger.info(f"resumed from epoch {cfg.epoch}")
 
-    if cfg.n_devices > 1:
+    if distributed:
+        # multi-host DP over every process's devices (parallel/multihost.py):
+        # batches column-sharded over the global 'data' axis so scan steps
+        # never reshard rows across hosts; per-shard epoch shuffle; the
+        # gradient pmean is the only DCN collective
+        import numpy as np
+
+        from iinsvae_tpu.parallel.shard import make_dp_train_step
+        from iinsvae_tpu.training.steps import make_semi_grads_fn
+
+        mesh = mh.make_global_mesh()
+        state = mh.place_replicated(mesh, state)
+        nb = train["cir"].shape[0] // cfg.batch_size
+        batched = {
+            k: np.asarray(v).reshape((nb, cfg.batch_size) + v.shape[1:])
+            for k, v in train.items()
+        }
+        train = mh.shard_epoch_data(mesh, batched)
+        dp_step = make_dp_train_step(
+            make_semi_grads_fn(model, cfg.supervision_rate, mask_mode=cfg.mask_mode),
+            mesh, jit=False,
+        )
+        run_epoch = mh.make_mh_epoch_runner(dp_step, mesh)
+        logger.info(
+            f"[parallel] multi-host DP: {cfg.dist_procs} processes x "
+            f"{jax.local_device_count()} devices (rank {jax.process_index()})"
+        )
+    elif cfg.n_devices > 1:
         # shard_map DP: batch sharded over a 1-axis mesh, params replicated,
         # grads pmean'd — composed inside the whole-epoch scan
         # (tests/test_parallel.py::test_epoch_runner_composes_with_dp_step)
@@ -96,7 +131,8 @@ def main(argv=None, cfg: Config | None = None):
         train_step = make_semi_train_step(
             model, supervision_rate=cfg.supervision_rate, mask_mode=cfg.mask_mode
         )
-    run_epoch = make_epoch_runner(train_step, cfg.batch_size)
+    if not distributed:
+        run_epoch = make_epoch_runner(train_step, cfg.batch_size)
 
     epoch_log = EpochLogger(
         logger, cfg.n_epochs,
@@ -114,12 +150,23 @@ def main(argv=None, cfg: Config | None = None):
         for epoch in range(cfg.epoch, cfg.n_epochs):
             final_state, metrics = run_epoch(final_state, train, jax.random.fold_in(key, epoch))
             epoch_log(epoch, jax.tree.map(float, finalize_metrics(metrics)))
-            if cfg.checkpoint_interval != -1 and epoch % cfg.checkpoint_interval == 0:
+            if (
+                primary
+                and cfg.checkpoint_interval != -1
+                and epoch % cfg.checkpoint_interval == 0
+            ):
                 save_checkpoint(model_path, epoch, final_state)
                 gc_checkpoints(model_path, cfg.keep_last)
-            if cfg.sample_interval and epoch % cfg.sample_interval == 0 and epoch > 0:
+            if (
+                primary
+                and cfg.sample_interval
+                and epoch % cfg.sample_interval == 0
+                and epoch > 0
+            ):
                 m = evaluate_semi(
-                    model, final_state, test_batch, eval_bs,
+                    model,
+                    mh.localize(final_state) if distributed else final_state,
+                    test_batch, eval_bs,
                     result_path=result_path, epoch=epoch,
                     dataset_env=cfg.dataset_env, dataset_name=cfg.dataset_name,
                 )
@@ -130,8 +177,17 @@ def main(argv=None, cfg: Config | None = None):
                     save_checkpoint(model_path, epoch, final_state)
                     logger.info(f"[best epoch {epoch}] rmse {m['rmse']:.6f}")
 
+    if not primary:
+        # non-primary hosts hold identical replicated params; checkpoints
+        # and artifacts are the primary's job. Wait for the primary's final
+        # eval so the coordinator (process 0) outlives every worker.
+        local_state = mh.localize(final_state)
+        mh.barrier("train_semi_end")
+        return local_state, {}
     save_checkpoint(model_path, cfg.n_epochs, final_state)
     gc_checkpoints(model_path, cfg.keep_last)
+    if distributed:
+        final_state = mh.localize(final_state)
     m = evaluate_semi(
         model, final_state, test_batch, eval_bs,
         result_path=result_path, epoch=cfg.n_epochs,
@@ -140,6 +196,8 @@ def main(argv=None, cfg: Config | None = None):
     )
     logger.info("[final] " + " ".join(
         f"[{k}: {v:.6f}]" for k, v in m.items() if isinstance(v, float)))
+    if distributed:
+        mh.barrier("train_semi_end")
     return final_state, m
 
 

@@ -76,6 +76,12 @@ class Config:
     profile_dir: str = ""  # jax.profiler trace dir ('' = off)
     # runtime (new)
     n_devices: int = 1  # data-parallel shards (1 = single device)
+    # multi-host (parallel/multihost.py): join a jax.distributed cluster and
+    # train DP over ALL processes' devices; only the per-step gradient
+    # pmean crosses DCN. dist_procs <= 1 = single-host (no coordinator dial)
+    dist_coordinator: str = ""
+    dist_procs: int = 1
+    dist_rank: int = -1
     seed: int = 0
     data_root: str = "./data/data_zenodo/dataset.pkl"
     out_dir: str = "./saved_results"
@@ -156,6 +162,12 @@ def add_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     a("--n_devices", type=int, default=d.n_devices,
       help="shard training batches over N local devices (shard_map DP over a "
            "1-axis mesh; params replicated, grads pmean'd over ICI)")
+    a("--dist_coordinator", type=str, default=d.dist_coordinator,
+      help="multi-host: jax.distributed coordinator host:port")
+    a("--dist_procs", type=int, default=d.dist_procs,
+      help="multi-host: total number of processes (1 = single-host)")
+    a("--dist_rank", type=int, default=d.dist_rank,
+      help="multi-host: this process's id in [0, dist_procs)")
     a("--seed", type=int, default=d.seed)
     a("--data_root", type=str, default=d.data_root)
     a("--out_dir", type=str, default=d.out_dir)
@@ -194,6 +206,17 @@ def from_args(args: argparse.Namespace) -> Config:
             f"--batch_size {cfg.batch_size} must be divisible by "
             f"--n_devices {cfg.n_devices}"
         )
+    if cfg.dist_procs > 1:
+        if not cfg.dist_coordinator or cfg.dist_rank < 0:
+            raise ValueError(
+                "--dist_procs > 1 needs --dist_coordinator host:port and "
+                "--dist_rank (0-based process id)"
+            )
+        if cfg.n_devices > 1:
+            raise ValueError(
+                "--n_devices is single-host only; multi-host DP "
+                "(--dist_procs) always uses every process's devices"
+            )
     return cfg
 
 

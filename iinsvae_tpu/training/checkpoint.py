@@ -79,9 +79,29 @@ def _state_payload(state) -> dict:
     }
 
 
+def _checkpointer() -> ocp.StandardCheckpointer:
+    """A StandardCheckpointer whose barriers never cross processes.
+
+    Checkpoints here are always host-local numpy (``jax.device_get`` of a
+    replicated state), written by the primary only (parallel/multihost.py
+    gates the call sites). Under ``jax.distributed`` the default orbax
+    barriers are GLOBAL — a primary-only save would deadlock/mismatch the
+    other ranks' collectives — so scope orbax to this process alone.
+    """
+    if jax.process_count() > 1:
+        me = jax.process_index()
+        return ocp.StandardCheckpointer(
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=me, active_processes={me},
+                barrier_sync_key_prefix=f"proc{me}",
+            )
+        )
+    return ocp.StandardCheckpointer()
+
+
 def save_checkpoint(model_dir: str, epoch: int, state, tag: str = "") -> str:
     path = _ckpt_path(model_dir, epoch, tag)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     ckptr.save(path, _state_payload(jax.device_get(state)), force=True)
     ckptr.wait_until_finished()
     return path
@@ -90,7 +110,7 @@ def save_checkpoint(model_dir: str, epoch: int, state, tag: str = "") -> str:
 def restore_checkpoint(model_dir: str, epoch: int, state, tag: str = ""):
     """Restore into the structure of ``state`` (a freshly created one)."""
     path = _ckpt_path(model_dir, epoch, tag)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     template = jax.tree.map(ocp.utils.to_shape_dtype_struct, _state_payload(state)) \
         if hasattr(ocp.utils, "to_shape_dtype_struct") else _state_payload(state)
     restored = ckptr.restore(path, template)
