@@ -46,10 +46,18 @@ def build_model(cfg: Config):
 
 def main(argv=None, cfg: Config | None = None):
     cfg = cfg or parse(argv)
+    # multi-host: join the cluster BEFORE anything touches the jax backend
+    from iinsvae_tpu.parallel import multihost as mh
+
+    distributed = mh.init_distributed(
+        cfg.dist_coordinator, cfg.dist_procs, cfg.dist_rank
+    )
+    primary = mh.is_primary() if distributed else True
     model_path = joint_model_dir(cfg)
     train_path = joint_result_dir(cfg)
     test_path = joint_result_dir(cfg, test=True)
-    logger = setup_logging(train_path, "training_log.log")
+    log_name = "training_log.log" if primary else f"training_log.rank{cfg.dist_rank}.log"
+    logger = setup_logging(train_path, log_name)
     logger.info(str(cfg.to_dict()))
 
     data_train, data_test = resolve_data(cfg)
@@ -64,7 +72,20 @@ def main(argv=None, cfg: Config | None = None):
     if cfg.epoch != 0:
         state = restore_checkpoint(model_path, cfg.epoch, state)
 
-    if cfg.n_devices > 1:
+    if distributed:
+        # multi-host DP (parallel/multihost.py): column-sharded epoch
+        # batches, only the gradient pmean crosses DCN
+        from iinsvae_tpu.training.steps import make_joint_grads_fn
+
+        state, train, run_epoch = mh.make_mh_training(
+            mh.make_global_mesh(), make_joint_grads_fn(model),
+            state, train, cfg.batch_size,
+        )
+        logger.info(
+            f"[parallel] multi-host DP: {cfg.dist_procs} processes x "
+            f"{jax.local_device_count()} devices (rank {jax.process_index()})"
+        )
+    elif cfg.n_devices > 1:
         from iinsvae_tpu.parallel.mesh import make_mesh
         from iinsvae_tpu.parallel.shard import make_dp_train_step, place_dp
         from iinsvae_tpu.training.steps import make_joint_grads_fn
@@ -78,7 +99,8 @@ def main(argv=None, cfg: Config | None = None):
         logger.info(f"[parallel] shard_map DP over {cfg.n_devices} devices")
     else:
         train_step = make_joint_train_step(model)
-    run_epoch = make_epoch_runner(train_step, cfg.batch_size)
+    if not distributed:
+        run_epoch = make_epoch_runner(train_step, cfg.batch_size)
     epoch_log = EpochLogger(
         logger, cfg.n_epochs,
         f"[Data Env: {cfg.dataset_env}] "
@@ -91,18 +113,37 @@ def main(argv=None, cfg: Config | None = None):
     for epoch in range(cfg.epoch, cfg.n_epochs):
         state, metrics = run_epoch(state, train, jax.random.fold_in(key, epoch))
         epoch_log(epoch, jax.tree.map(float, finalize_metrics(metrics)))
-        if cfg.checkpoint_interval != -1 and epoch % cfg.checkpoint_interval == 0:
+        if (
+            primary
+            and cfg.checkpoint_interval != -1
+            and epoch % cfg.checkpoint_interval == 0
+        ):
             save_checkpoint(model_path, epoch, state)
-        if cfg.sample_interval and epoch % cfg.sample_interval == 0 and epoch > 0:
+        if (
+            primary
+            and cfg.sample_interval
+            and epoch % cfg.sample_interval == 0
+            and epoch > 0
+        ):
             m = evaluate_joint(
-                model, state, test_batch, eval_bs,
+                model,
+                mh.localize(state) if distributed else state,
+                test_batch, eval_bs,
                 result_path=train_path, epoch=epoch,
                 dataset_env=cfg.dataset_env, dataset_name=cfg.dataset_name,
             )
             logger.info(f"[val epoch {epoch}] " + " ".join(
                 f"[{k}: {v:.6f}]" for k, v in m.items() if isinstance(v, float)))
 
+    if not primary:
+        # non-primary hosts hold identical replicated params; checkpoints
+        # and artifacts are the primary's job
+        local_state = mh.localize(state)
+        mh.barrier("run_end")
+        return local_state, {}
     save_checkpoint(model_path, cfg.n_epochs, state)
+    if distributed:
+        state = mh.localize(state)
     m = evaluate_joint(
         model, state, test_batch, eval_bs,
         result_path=test_path, epoch=cfg.n_epochs,
@@ -111,6 +152,8 @@ def main(argv=None, cfg: Config | None = None):
     )
     logger.info("[test] " + " ".join(
         f"[{k}: {v:.6f}]" for k, v in m.items() if isinstance(v, float)))
+    if distributed:
+        mh.barrier("run_end")
     return state, m
 
 

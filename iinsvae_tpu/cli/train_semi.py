@@ -85,24 +85,13 @@ def main(argv=None, cfg: Config | None = None):
         # batches column-sharded over the global 'data' axis so scan steps
         # never reshard rows across hosts; per-shard epoch shuffle; the
         # gradient pmean is the only DCN collective
-        import numpy as np
-
-        from iinsvae_tpu.parallel.shard import make_dp_train_step
         from iinsvae_tpu.training.steps import make_semi_grads_fn
 
-        mesh = mh.make_global_mesh()
-        state = mh.place_replicated(mesh, state)
-        nb = train["cir"].shape[0] // cfg.batch_size
-        batched = {
-            k: np.asarray(v).reshape((nb, cfg.batch_size) + v.shape[1:])
-            for k, v in train.items()
-        }
-        train = mh.shard_epoch_data(mesh, batched)
-        dp_step = make_dp_train_step(
+        state, train, run_epoch = mh.make_mh_training(
+            mh.make_global_mesh(),
             make_semi_grads_fn(model, cfg.supervision_rate, mask_mode=cfg.mask_mode),
-            mesh, jit=False,
+            state, train, cfg.batch_size,
         )
-        run_epoch = mh.make_mh_epoch_runner(dp_step, mesh)
         logger.info(
             f"[parallel] multi-host DP: {cfg.dist_procs} processes x "
             f"{jax.local_device_count()} devices (rank {jax.process_index()})"

@@ -175,6 +175,30 @@ def localize(tree):
     return jax.tree.map(get, tree, is_leaf=lambda x: hasattr(x, "ndim"))
 
 
+def make_mh_training(mesh: Mesh, grads_fn: Callable, state, train: dict,
+                     batch_size: int):
+    """One-call driver integration: place a replicated state on the global
+    mesh, column-shard the padded epoch arrays, and build the whole-epoch
+    runner over the shard_map DP step.
+
+    ``train`` holds flat padded arrays (pad_to_batches output); returns
+    ``(state, batched_train, run_epoch)`` with run_epoch(state, train, key)
+    — the same call shape as training.loop.make_epoch_runner, so drivers
+    swap it in without touching their epoch loop.
+    """
+    from iinsvae_tpu.parallel.shard import make_dp_train_step
+
+    state = place_replicated(mesh, state)
+    nb = train["cir"].shape[0] // batch_size
+    batched = {
+        k: np.asarray(v).reshape((nb, batch_size) + v.shape[1:])
+        for k, v in train.items()
+    }
+    train = shard_epoch_data(mesh, batched)
+    dp_step = make_dp_train_step(grads_fn, mesh, jit=False)
+    return state, train, make_mh_epoch_runner(dp_step, mesh)
+
+
 def make_mh_epoch_runner(
     dp_step: Callable, mesh: Mesh, axis: str = "data"
 ) -> Callable:

@@ -110,6 +110,24 @@ def test_config_union_cli():
     assert cfg2.conv_type == 2 and cfg2.expand
 
 
+def test_config_dist_validation():
+    # multi-host flags must arrive as a complete set
+    with pytest.raises(ValueError, match="dist_coordinator"):
+        parse(["--dist_procs", "2"])
+    with pytest.raises(ValueError, match="dist_coordinator"):
+        parse(["--dist_procs", "2", "--dist_coordinator", "h:1"])  # no rank
+    # --n_devices is the single-host path; mutually exclusive
+    with pytest.raises(ValueError, match="single-host"):
+        parse([
+            "--dist_procs", "2", "--dist_coordinator", "h:1",
+            "--dist_rank", "0", "--n_devices", "2",
+        ])
+    cfg = parse([
+        "--dist_procs", "2", "--dist_coordinator", "h:1", "--dist_rank", "1",
+    ])
+    assert cfg.dist_procs == 2 and cfg.dist_rank == 1
+
+
 def test_synthetic_arrays_direct():
     cir, err, label, room = synthetic_arrays(n=256, option="nlos")
     assert cir.shape == (256, 157)

@@ -76,10 +76,44 @@ def _worker_env() -> dict:
     return env
 
 
-def test_two_process_dp_training(tmp_path):
+JOINT_WORKER = """
+import hashlib, sys
+import numpy as np
+rank, port, tmp = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+sys.path.insert(0, {repo!r})
+from iinsvae_tpu.cli.run import main
+
+state, m = main([
+    "--dist_coordinator", "127.0.0.1:" + port,
+    "--dist_procs", "2",
+    "--dist_rank", str(rank),
+    "--net_ablation", "loop",
+    "--n_epochs", "2",
+    "--batch_size", "64",
+    "--synthetic_n", "160",
+    "--dataset_env", "nlos",
+    "--checkpoint_interval", "-1",
+    "--sample_interval", "0",
+    "--no_data_cache",
+    "--model_dir", tmp + "/models",
+    "--out_dir", tmp + "/results",
+])
+import jax
+leaves = jax.tree.leaves(state.params)
+digest = hashlib.sha256(
+    b"".join(np.asarray(l).tobytes() for l in leaves)
+).hexdigest()
+print("DIGEST", digest, flush=True)
+if m:
+    print("RMSE", float(m["rmse"]), flush=True)
+print("WORKER-OK", rank, flush=True)
+"""
+
+
+def _launch_pair(tmp_path, worker_src):
     port = _free_port()
     script = tmp_path / "worker.py"
-    script.write_text(WORKER.format(repo=REPO))
+    script.write_text(worker_src.format(repo=REPO))
     env = _worker_env()
     procs = [
         subprocess.Popen(
@@ -96,6 +130,11 @@ def test_two_process_dp_training(tmp_path):
     for r, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {r} failed:\n{out[-4000:]}"
         assert f"WORKER-OK {r}" in out, out[-2000:]
+    return outs
+
+
+def test_two_process_dp_training(tmp_path):
+    outs = _launch_pair(tmp_path, WORKER)
 
     # bit-identical replicated params on both processes
     digests = [re.search(r"DIGEST (\w+)", o).group(1) for o in outs]
@@ -117,3 +156,15 @@ def test_two_process_dp_training(tmp_path):
         if f == "train_log.rank1.log"
     ]
     assert rank_logs, "non-primary rank log missing"
+
+
+def test_two_process_joint_driver(tmp_path):
+    """The supervised joint driver (run.py) over the same multi-host layer:
+    both ranks converge to bit-identical params; the primary runs the full
+    test_gem evaluation (SVM comparison included) alone."""
+    outs = _launch_pair(tmp_path, JOINT_WORKER)
+    digests = [re.search(r"DIGEST (\w+)", o).group(1) for o in outs]
+    assert digests[0] == digests[1], f"params diverged: {digests}"
+    rmse = float(re.search(r"RMSE ([0-9.eE+-]+)", outs[0]).group(1))
+    assert 0.0 < rmse < 10.0, rmse
+    assert "RMSE" not in outs[1]
