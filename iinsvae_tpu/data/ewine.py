@@ -44,15 +44,29 @@ def load_data_from_folder(folderpath: str) -> np.ndarray:
 
 
 def extract_reg_arrays(input_arr: np.ndarray):
-    """(rows, cols) -> (cir (N,152), err (N,1), label (N,1)), vectorized."""
+    """(rows, cols) -> (cir (N,152), err (N,1), label (N,1)), vectorized.
+
+    The first-path index (col 8) comes from FILE DATA: the 152-tap window is
+    clamped into the row (NaN fp reads from 0), so malformed/hostile CSVs
+    can neither wrap with negative indices nor index out of bounds — the
+    clamp is the identity on valid rows. Same semantics as the native plane
+    (runtime_native/iinsvae_io.cc::iins_ewine_extract, parity-tested).
+    """
     input_arr = np.asarray(input_arr, dtype=np.float64)
+    cols = input_arr.shape[1]
+    if cols < max(18, CIR_LEN):
+        raise ValueError(
+            f"ewine rows need >= {max(18, CIR_LEN)} columns "
+            f"(metadata + one CIR window), got {cols}"
+        )
     d_gt = np.sqrt(
         (input_arr[:, 0] - input_arr[:, 2]) ** 2 + (input_arr[:, 1] - input_arr[:, 3]) ** 2
     )
     err = np.abs(d_gt - input_arr[:, 4]).reshape(-1, 1)
     label = input_arr[:, 5:6]
-    fp_idx = input_arr[:, 8].astype(np.int64)
-    start = fp_idx + 15
+    fp = input_arr[:, 8]
+    start_f = np.where(np.isfinite(fp), fp, 0.0) + 15.0
+    start = np.clip(start_f, 0, cols - CIR_LEN).astype(np.int64)
     idx = start[:, None] + np.arange(CIR_LEN)[None, :]
     cir = np.take_along_axis(input_arr, idx, axis=1) / input_arr[:, 17:18]
     return cir, err, label

@@ -128,22 +128,29 @@ def read_cache(path: str) -> Optional[Dict[str, np.ndarray]]:
         return None
     owner = _MappedCache(lib, handle)
     out = {}
-    for i in range(lib.iins_cache_count(handle)):
-        name = ctypes.create_string_buffer(16)
-        dtype = _i64()
-        ndim = _i64()
-        dims = (ctypes.c_int64 * 4)()
-        ptr = lib.iins_cache_array(handle, i, name, ctypes.byref(dtype),
-                                   ctypes.byref(ndim), dims)
-        if not ptr:
-            return None
-        np_dtype = np.dtype(_DTYPES[dtype.value])
-        shape = tuple(dims[d] for d in range(ndim.value))
-        nbytes = int(np.prod(shape)) * np_dtype.itemsize
-        buf = (ctypes.c_char * nbytes).from_address(ptr)
-        # pin the mapping's lifetime to the buffer the array will .base on
-        buf._iins_cache_owner = owner
-        arr = np.frombuffer(buf, dtype=np_dtype).reshape(shape)
-        arr.flags.writeable = False
-        out[name.value.decode()] = arr
+    # any surprise in a record (the C plane validates bounds/dtypes at open;
+    # this guards e.g. non-UTF8 name bytes in a corrupt-but-in-bounds file)
+    # is a cache MISS — the caller transparently rebuilds
+    try:
+        for i in range(lib.iins_cache_count(handle)):
+            name = ctypes.create_string_buffer(16)
+            dtype = _i64()
+            ndim = _i64()
+            dims = (ctypes.c_int64 * 4)()
+            ptr = lib.iins_cache_array(handle, i, name, ctypes.byref(dtype),
+                                       ctypes.byref(ndim), dims)
+            if not ptr:
+                return None
+            np_dtype = np.dtype(_DTYPES[dtype.value])
+            shape = tuple(dims[d] for d in range(ndim.value))
+            nbytes = int(np.prod(shape)) * np_dtype.itemsize
+            buf = (ctypes.c_char * max(nbytes, 1)).from_address(ptr)
+            # pin the mapping's lifetime to the buffer the array will .base on
+            buf._iins_cache_owner = owner
+            arr = np.frombuffer(buf, dtype=np_dtype, count=int(np.prod(shape)))
+            arr = arr.reshape(shape)
+            arr.flags.writeable = False
+            out[name.value.decode()] = arr
+    except Exception:
+        return None
     return out

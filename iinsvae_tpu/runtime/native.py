@@ -101,6 +101,11 @@ def ewine_extract(rows: np.ndarray):
 
         return extract_reg_arrays(rows)
     n, cols = rows.shape
+    if cols < max(18, 152):  # same contract as extract_reg_arrays
+        raise ValueError(
+            f"ewine rows need >= {max(18, 152)} columns "
+            f"(metadata + one CIR window), got {cols}"
+        )
     cir = np.empty((n, 152), dtype=np.float64)
     err = np.empty((n, 1), dtype=np.float64)
     label = np.empty((n, 1), dtype=np.float64)

@@ -80,17 +80,22 @@ double* iins_read_csv(const char* path, int skip_header, int64_t* rows,
     }
     if (p < end) ++p;  // newline
     if (n_cols < 0) n_cols = row_cols;
-    if (row_cols != n_cols) {  // ragged row: pad with NaN
+    if (row_cols < n_cols) {  // short ragged row: pad with NaN
       while (row_cols < n_cols) {
         values.push_back(std::nan(""));
         ++row_cols;
       }
+    } else if (row_cols > n_cols) {
+      // over-long ragged row: drop the extra fields — keeping them would
+      // break the row-major (rows, cols) layout the caller reshapes to
+      values.resize(values.size() - static_cast<size_t>(row_cols - n_cols));
     }
     ++n_rows;
   }
 
-  double* out =
-      static_cast<double*>(std::malloc(values.size() * sizeof(double)));
+  if (n_rows == 0) n_cols = 0;  // empty / header-only file -> (0, 0)
+  double* out = static_cast<double*>(
+      std::malloc(values.empty() ? 1 : values.size() * sizeof(double)));
   if (!out) return nullptr;
   std::memcpy(out, values.data(), values.size() * sizeof(double));
   *rows = n_rows;
@@ -108,15 +113,38 @@ void iins_free(double* p) { std::free(p); }
 void iins_ewine_extract(const double* rows, int64_t n, int64_t cols,
                         double* cir, double* err, double* label) {
   const int64_t kCirLen = 152;
+  // rows too narrow for the metadata columns or one CIR window cannot be
+  // extracted at all (the python wrapper rejects these earlier; this is the
+  // in-library guard for direct callers)
+  if (cols < 18 || cols < kCirLen) {
+    for (int64_t i = 0; i < n; ++i) {
+      err[i] = std::nan("");
+      label[i] = std::nan("");
+      for (int64_t t = 0; t < kCirLen; ++t) cir[i * kCirLen + t] = std::nan("");
+    }
+    return;
+  }
+  const int64_t max_start = cols - kCirLen;
   for (int64_t i = 0; i < n; ++i) {
     const double* r = rows + i * cols;
     double dx = r[0] - r[2];
     double dy = r[1] - r[3];
     err[i] = std::fabs(std::sqrt(dx * dx + dy * dy) - r[4]);
     label[i] = r[5];
-    int64_t fp = static_cast<int64_t>(r[8]);
+    // first-path index comes from FILE DATA — clamp the 152-tap window into
+    // the row so a malformed/hostile fp_idx can never read out of bounds
+    // (matches data/ewine.py::extract_reg_arrays; identity on valid rows).
+    // The clamp happens in the DOUBLE domain: casting a NaN/out-of-range
+    // double straight to int64 is UB, and the CSV parser emits NaN for
+    // non-numeric fields.
+    double fpd = std::isfinite(r[8]) ? r[8] : 0.0;
+    double sf = fpd + 15.0;
+    int64_t start = sf <= 0.0 ? 0
+                    : sf >= static_cast<double>(max_start)
+                        ? max_start
+                        : static_cast<int64_t>(sf);
     double amp = r[17];
-    const double* src = r + fp + 15;
+    const double* src = r + start;
     double* dst = cir + i * kCirLen;
     for (int64_t t = 0; t < kCirLen; ++t) dst[t] = src[t] / amp;
   }
@@ -360,12 +388,42 @@ void* iins_cache_open(const char* path) {
     munmap(base, static_cast<size_t>(st.st_size));
     return nullptr;
   }
+  // Validate the whole header before trusting it: a truncated or corrupt
+  // file must read as a cache MISS (caller rebuilds), never as an
+  // out-of-bounds access. n_arrays bounds the record table inside the
+  // mapping; every record's name NUL, dtype, ndim, dims and payload span
+  // are checked with overflow-safe arithmetic.
+  int64_t n_arrays;
+  std::memcpy(&n_arrays, static_cast<char*>(base) + 8, 8);
+  const int64_t rec_sz = static_cast<int64_t>(sizeof(CacheRecord));
+  bool ok = n_arrays >= 0 && n_arrays <= (st.st_size - 16) / rec_sz;
+  const auto* records =
+      reinterpret_cast<const CacheRecord*>(static_cast<char*>(base) + 16);
+  const int64_t hdr_end = 16 + n_arrays * rec_sz;
+  for (int64_t i = 0; ok && i < n_arrays; ++i) {
+    const CacheRecord& r = records[i];
+    int64_t esz = dtype_size(r.dtype);
+    ok = r.name[15] == '\0' && esz > 0 && r.ndim >= 1 && r.ndim <= 4 &&
+         r.offset >= hdr_end && r.offset <= st.st_size;
+    if (!ok) break;
+    int64_t max_elems = (st.st_size - r.offset) / esz;
+    int64_t elems = 1;
+    for (int64_t d = 0; ok && d < 4; ++d) {
+      ok = r.dims[d] >= 0 &&
+           (r.dims[d] == 0 || elems <= max_elems / r.dims[d]);
+      if (ok) elems *= r.dims[d];
+    }
+    ok = ok && elems <= max_elems;
+  }
+  if (!ok) {
+    munmap(base, static_cast<size_t>(st.st_size));
+    return nullptr;
+  }
   auto* h = new CacheHandle;
   h->base = base;
   h->size = st.st_size;
-  std::memcpy(&h->n_arrays, static_cast<char*>(base) + 8, 8);
-  h->records =
-      reinterpret_cast<const CacheRecord*>(static_cast<char*>(base) + 16);
+  h->n_arrays = n_arrays;
+  h->records = records;
   return h;
 }
 
