@@ -199,3 +199,37 @@ def test_resume_matches_continuous_run_with_active_decay(tmp_path):
     flat_b = jax.tree.leaves(state_b.params)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_baseline_main(tmp_path):
+    """`baseline.py` main (reference baseline.py:73-113): features -> SVR/SVC
+    on the synthetic split, CDF artifact written, sane return contract."""
+    from iinsvae_tpu.cli.baseline import main
+    from iinsvae_tpu.config import parse
+
+    tmp = str(tmp_path)
+    m = main(argv=_argv(tmp))
+    assert np.isfinite(m["svm_rmse"]) and m["svm_rmse"] > 0
+    assert 0.0 <= m["svm_accuracy"] <= 1.0
+    cfg = parse(_argv(tmp))
+    out = os.path.join(
+        cfg.out_dir,
+        "data_%s_%s_mode_%s" % (cfg.dataset_name, cfg.dataset_env, cfg.mode),
+        "SVR",
+        "CDF_svm.png",
+    )
+    assert os.path.isfile(out), "baseline CDF artifact missing"
+
+
+def test_inspect_data_main(tmp_path, capsys):
+    """`inspect_data` main (the reference's manual smoke mains,
+    data_tools.py:453-486 / dataset.py:139-241): prints shapes/ranges/class
+    counts and writes the sample-CIR plot."""
+    from iinsvae_tpu.cli.inspect_data import main
+
+    tmp = str(tmp_path)
+    data_train, data_test = main(argv=_argv(tmp))
+    assert data_train[0].shape[1] == 157  # zenodo tap count
+    out = capsys.readouterr().out
+    assert "pipeline time" in out and "item shapes" in out
+    assert glob.glob(os.path.join(tmp, "saved_results", "zenodo_sample_*.png"))
