@@ -27,3 +27,33 @@ Design (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+# Top-level convenience API (lazy, PEP 562 — importing the package stays
+# cheap; submodules load on first attribute access).
+_EXPORTS = {
+    "IInsVAE": "iinsvae_tpu.models",
+    "Encoder": "iinsvae_tpu.models",
+    "Decoder": "iinsvae_tpu.models",
+    "Restorer": "iinsvae_tpu.models",
+    "Classifier": "iinsvae_tpu.models",
+    "EMNet": "iinsvae_tpu.models",
+    "EMNetLoop": "iinsvae_tpu.models",
+    "Config": "iinsvae_tpu.config",
+    "parse": "iinsvae_tpu.config",
+    "Predictor": "iinsvae_tpu.serving",
+    "load_serving": "iinsvae_tpu.serving",
+}
+
+__all__ = ["__version__", *_EXPORTS]
+
+
+def __getattr__(name):
+    if name in _EXPORTS:
+        import importlib
+
+        return getattr(importlib.import_module(_EXPORTS[name]), name)
+    raise AttributeError(f"module 'iinsvae_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(__all__)
