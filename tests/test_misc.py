@@ -107,3 +107,23 @@ def test_config_paper_env_num_classes():
 
     cfg = Config(dataset_env="paper")
     assert cfg.num_classes == 4  # train_semi.py:60-61 names it; loader N/A
+
+
+def test_top_level_api_surface():
+    """The lazy package API (PEP 562) resolves every advertised symbol to
+    the same object as its home module, and dir() lists them."""
+    import iinsvae_tpu
+    from iinsvae_tpu.models import IInsVAE
+    from iinsvae_tpu.config import Config
+    from iinsvae_tpu.serving import Predictor
+
+    assert iinsvae_tpu.IInsVAE is IInsVAE
+    assert iinsvae_tpu.Config is Config
+    assert iinsvae_tpu.Predictor is Predictor
+    assert set(iinsvae_tpu.__all__) <= set(dir(iinsvae_tpu))
+    try:
+        iinsvae_tpu.no_such_symbol
+    except AttributeError:
+        pass
+    else:  # pragma: no cover
+        raise AssertionError("missing-attribute must raise AttributeError")
