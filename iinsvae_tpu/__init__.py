@@ -56,4 +56,6 @@ def __getattr__(name):
 
 
 def __dir__():
-    return sorted(__all__)
+    # real module attributes (__name__, __path__, imported submodules, ...)
+    # plus the lazy exports — not only __all__ (ADVICE round 3)
+    return sorted(set(globals()) | set(_EXPORTS))

@@ -201,6 +201,15 @@ def from_args(args: argparse.Namespace) -> Config:
         raise ValueError(
             f"Unknown environment {cfg.dataset_env!r}; choices: {sorted(NUM_CLASSES)}"
         )
+    if cfg.env_conv_init == "torch" and cfg.conv_type == 2:
+        raise ValueError(
+            "--env_conv_init torch diverges (NaN within the first epochs, "
+            "measured f32 AND bf16 — BASELINE.md round-3 'Scope caveat') on "
+            "the conv_type=2 expanded path: the 2-D env encoder has no "
+            "normalization (reference models.py:304-350), so torch-default "
+            "init leaves the (mu, log_sigma) head O(1)+ and the KL blows up. "
+            "Use the default --env_conv_init reference with conv_type=2."
+        )
     if cfg.n_devices > 1 and cfg.batch_size % cfg.n_devices:
         raise ValueError(
             f"--batch_size {cfg.batch_size} must be divisible by "

@@ -57,6 +57,7 @@ ZENODO_ENVS = (
     "room_full_rough",
     "room_full_rough2",
     "obstacle_part2",
+    "paper",
 )
 
 
@@ -74,7 +75,7 @@ def label_dictionary(dataset_env: str) -> dict:
         }
     if dataset_env == "room_part":
         return {0: "big room", 1: "medium room", 2: "small room"}
-    if dataset_env == "obstacle_part":
+    if dataset_env in ("obstacle_part", "paper"):
         return {0: "metal", 1: "wood", 2: "plastic", 3: "glass"}
     # extensions named (with class counts only) in reference train_semi.py:46-63
     if dataset_env == "room_full_rough":
@@ -135,7 +136,10 @@ def load_pkl_data(filepath: str, option: str | None = None, seed: int = 0):
         parts = [(_select(data, rooms=[1]), 0),
                  (_select(data, rooms=[2]), 1),
                  (_select(data, rooms=[3]), 2)]
-    elif option == "obstacle_part":
+    elif option in ("obstacle_part", "paper"):
+        # 'paper' is the paper protocol's env: reference train_semi.py:62
+        # maps it to num_classes=4 — the obstacle_part material groups —
+        # normally combined with mode='paper' cross-room splitting
         parts = [(_select(data, obstacles=strs), k) for k, strs in _OBSTACLE_PART.items()]
     elif option == "room_full_rough":
         parts = [(_select(data, rooms=[0]), 0),

@@ -129,6 +129,23 @@ def test_n_devices_must_divide_batch():
         parse(["--n_devices", "3", "--batch_size", "500"])
 
 
+def test_env_conv_init_torch_rejected_on_conv_type_2():
+    """--env_conv_init torch + conv_type=2 NaNs within the first epochs
+    (measured f32 and bf16, BASELINE.md round-3 scope caveat) — parse()
+    rejects the combination instead of letting it surface as a runtime NaN
+    (VERDICT round-3 item 4). The alias --ae_type 2 is caught too."""
+    from iinsvae_tpu.config import parse
+
+    with pytest.raises(ValueError, match="NaN"):
+        parse(["--env_conv_init", "torch", "--conv_type", "2"])
+    with pytest.raises(ValueError, match="NaN"):
+        parse(["--env_conv_init", "torch", "--ae_type", "2"])
+    # the measured-good combinations still parse
+    assert parse(["--env_conv_init", "torch", "--conv_type", "1"]).env_conv_init == "torch"
+    assert parse(["--env_conv_init", "torch", "--conv_type", "3"]).conv_type == 3
+    assert parse(["--conv_type", "2"]).env_conv_init == "reference"
+
+
 @pytest.mark.parametrize("ablation", ["loop", "loops"])
 def test_run_main_joint(tmp_path, ablation):
     from iinsvae_tpu.cli.run import main

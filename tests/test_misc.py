@@ -106,7 +106,22 @@ def test_config_paper_env_num_classes():
     from iinsvae_tpu.config import Config
 
     cfg = Config(dataset_env="paper")
-    assert cfg.num_classes == 4  # train_semi.py:60-61 names it; loader N/A
+    assert cfg.num_classes == 4  # train_semi.py:60-61 names it
+
+
+def test_paper_env_loads_as_obstacle_part():
+    """dataset_env='paper' resolves to the obstacle_part material-group
+    selection in the loader (reference train_semi.py:62 gives it
+    num_classes=4) instead of crashing — the env the paper-mode cross-room
+    protocol runs with."""
+    import numpy as np
+    from iinsvae_tpu.data.synthetic import synthetic_arrays
+
+    cir_a, err_a, lab_a, room_a = synthetic_arrays(600, seed=3, option="paper")
+    cir_b, err_b, lab_b, room_b = synthetic_arrays(600, seed=3, option="obstacle_part")
+    np.testing.assert_array_equal(lab_a, lab_b)
+    np.testing.assert_allclose(cir_a, cir_b)
+    assert set(np.unique(lab_a.astype(int))) <= {0, 1, 2, 3}
 
 
 def test_top_level_api_surface():
@@ -121,6 +136,11 @@ def test_top_level_api_surface():
     assert iinsvae_tpu.Config is Config
     assert iinsvae_tpu.Predictor is Predictor
     assert set(iinsvae_tpu.__all__) <= set(dir(iinsvae_tpu))
+    # dir() lists real module attributes too, not only the lazy exports
+    # (ADVICE round 3): introspection/tab-completion must see both
+    assert {"__name__", "__doc__", "__version__"} <= set(dir(iinsvae_tpu))
+    import iinsvae_tpu.cli  # noqa: F401 — imported submodules appear in dir()
+    assert "cli" in dir(iinsvae_tpu)
     try:
         iinsvae_tpu.no_such_symbol
     except AttributeError:
