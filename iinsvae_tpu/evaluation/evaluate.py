@@ -73,9 +73,9 @@ def evaluate_semi(
 
     artifacts = {}
     if result_path is not None and make_plots:
-        feats2d = reduce_latents(env_codes)
+        feats2d, reducer = reduce_latents(env_codes)
         artifacts["latents_png"] = visualize_latents(
-            feats2d, label_gt, result_path, epoch, dataset_env
+            feats2d, label_gt, result_path, epoch, dataset_env, method=reducer
         )
         cir_gt = _unpad(padded["cir"].reshape(-1, batch_size, padded["cir"].shape[-1]), w)
         recon = _unpad(outs["recon"], w)
@@ -147,9 +147,9 @@ def evaluate_joint(
 
     artifacts = {}
     if result_path is not None and make_plots:
-        feats2d = reduce_latents(latents)
+        feats2d, reducer = reduce_latents(latents)
         artifacts["latents_png"] = visualize_latents(
-            feats2d, label_gt, result_path, epoch, dataset_env
+            feats2d, label_gt, result_path, epoch, dataset_env, method=reducer
         )
     if run_svm and data_raw is not None:
         _svm_comparison(

@@ -42,23 +42,27 @@ def cdf_plot(err_arr: np.ndarray, num: int = 200, color: str = "brown", xlim: fl
     plt.xlim((0.0, xlim))
 
 
-def reduce_latents(latents: np.ndarray, method: str = "auto") -> np.ndarray:
-    """(N, D) -> (N, 2). UMAP when available and requested, else PCA."""
+def reduce_latents(latents: np.ndarray, method: str = "auto"):
+    """(N, D) -> ((N, 2), method_used). UMAP when available and requested,
+    else PCA. The second element names the reducer that actually ran
+    ("umap" / "pca" / "identity") so artifacts can self-describe — the
+    reference always claims UMAP (utils.py:60-71) even though the method
+    is environment-dependent."""
     latents = np.asarray(latents).reshape(latents.shape[0], -1)
     if latents.shape[1] <= 2:
-        return latents
+        return latents, "identity"
     if method in ("auto", "umap"):
         try:
             import umap  # type: ignore
 
-            return umap.UMAP().fit_transform(latents)
+            return umap.UMAP().fit_transform(latents), "umap"
         except Exception:
             if method == "umap":
                 raise
     # PCA fallback
     centered = latents - latents.mean(axis=0)
     _, _, vt = np.linalg.svd(centered, full_matrices=False)
-    return centered @ vt[:2].T
+    return centered @ vt[:2].T, "pca"
 
 
 def visualize_latents(
@@ -68,9 +72,12 @@ def visualize_latents(
     epoch: int,
     dataset_env: str = "nlos",
     title: str | None = None,
+    method: str | None = None,
 ):
     """Per-class scatter with deterministic class->color order (fixes the
-    set-iteration nondeterminism, reference utils.py:88)."""
+    set-iteration nondeterminism, reference utils.py:88). ``method`` names
+    the 2-D reducer that produced ``features2d`` and is recorded on the
+    axes/title so the artifact self-describes."""
     labels = np.asarray(labels).reshape(-1).astype(int)
     label_names = label_dictionary(dataset_env)
     cmap = plt.get_cmap("tab10").colors
@@ -80,6 +87,12 @@ def visualize_latents(
         ax.scatter(
             pts[:, 0], pts[:, 1], c=[cmap[cls % len(cmap)]],
             label=label_names.get(cls, str(cls)), s=2, alpha=0.5,
+        )
+    if method:
+        ax.set_xlabel("%s dim 1" % method.upper())
+        ax.set_ylabel("%s dim 2" % method.upper())
+        title = (title + " (%s)" % method.upper()) if title else (
+            "env latents (%s), epoch %d" % (method.upper(), epoch)
         )
     if title:
         ax.set_title(title)

@@ -107,10 +107,30 @@ def save_checkpoint(model_dir: str, epoch: int, state, tag: str = "") -> str:
     return path
 
 
-def restore_checkpoint(model_dir: str, epoch: int, state, tag: str = ""):
-    """Restore into the structure of ``state`` (a freshly created one)."""
+def restore_checkpoint(model_dir: str, epoch: int, state, tag: str = "",
+                       migrate: bool = False):
+    """Restore into the structure of ``state`` (a freshly created one).
+
+    ``migrate=True`` restores a pre-rename checkpoint (ROADMAP.md item 0:
+    the round-2/3 ``Dense_N/kernel`` -> ``w{j}`` etc. refactors) by mapping
+    the old param tree onto the current names (training/migrate.py). The
+    optimizer state is NOT migrated — it is keyed to the old tree — so the
+    returned state keeps its freshly initialized ``opt_state``; step and
+    params (and batch stats, when present) carry over.
+    """
     path = _ckpt_path(model_dir, epoch, tag)
     ckptr = _checkpointer()
+    if migrate:
+        from iinsvae_tpu.training.migrate import migrate_params
+
+        raw = ckptr.restore(path)
+        params = migrate_params(raw["params"], state.params)
+        batch_stats = state.batch_stats
+        if raw.get("batch_stats") and jax.tree.leaves(state.batch_stats):
+            batch_stats = migrate_params(raw["batch_stats"], state.batch_stats)
+        return state.replace(
+            step=raw["step"], params=params, batch_stats=batch_stats,
+        )
     template = jax.tree.map(ocp.utils.to_shape_dtype_struct, _state_payload(state)) \
         if hasattr(ocp.utils, "to_shape_dtype_struct") else _state_payload(state)
     restored = ckptr.restore(path, template)

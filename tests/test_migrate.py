@@ -1,0 +1,155 @@
+"""Roundtrip test for pre-rename checkpoint migration (ROADMAP.md item 0).
+
+Synthesizes an OLD-format orbax checkpoint — the nested flax auto-named
+tree the pre-refactor code wrote (key list verified by running
+``module.init`` at the pre-rename commit) — then restores it with
+``restore_checkpoint(..., migrate=True)`` and asserts the migrated model
+computes the same function.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+import pytest
+
+from iinsvae_tpu.models import IInsVAE
+from iinsvae_tpu.training.checkpoint import restore_checkpoint
+from iinsvae_tpu.training.migrate import migrate_params
+from iinsvae_tpu.training.optim import make_optimizer
+from iinsvae_tpu.training.state import create_train_state
+
+L = 157
+
+
+def _state(model):
+    v = model.init({"params": jax.random.PRNGKey(3)}, jnp.ones((2, L)))
+    return create_train_state(model, v, make_optimizer(n_epochs=10, decay_start_epoch=5))
+
+
+def _oldify_semi1d(params, rng):
+    """Inverse-rename a CURRENT semi-1d params tree into the pre-rename
+    structure, re-adding the dropped (no-op) conv biases with NONZERO
+    values to prove the migration discards them by name, not by value."""
+    p = jax.tree.map(np.asarray, params)
+    old = {"encoder": {"range_encoder": {}, "env_encoder": {}},
+           "decoder": {"decoder": {}},
+           "restorer": {"restorer": {}},
+           "classifier": {"classifier": {}}}
+
+    def junk(n):
+        return rng.randn(n).astype(np.float32)
+
+    # range encoder: in/down{0-3}/out convs + 3 residual blocks
+    re_new = p["encoder"]["range_encoder"]
+    re_old = old["encoder"]["range_encoder"]
+    re_old["Conv1d_0"] = {"kernel": re_new["in_kernel"],
+                          "bias": junk(re_new["in_kernel"].shape[-1])}
+    for j in range(4):
+        k = re_new["down%d_kernel" % j]
+        re_old["Conv1d_%d" % (j + 1)] = {"kernel": k, "bias": junk(k.shape[-1])}
+    re_old["Conv1d_5"] = {"kernel": re_new["out_kernel"], "bias": re_new["out_bias"]}
+    for r in range(3):
+        re_old["ResidualBlock1d_%d" % r] = {
+            "Conv1d_0": {"kernel": re_new["res%d_kernel1" % r], "bias": junk(64)},
+            "Conv1d_1": {"kernel": re_new["res%d_kernel2" % r], "bias": junk(64)},
+        }
+
+    # env encoder: old Conv1d_{0..2} -> new ConvINAct_{0..2};
+    # old Conv1d_3 (final 1x1 cat conv) -> new Conv1d_0
+    ee_new = p["encoder"]["env_encoder"]
+    ee_old = old["encoder"]["env_encoder"]
+    for j in range(3):
+        ee_old["Conv1d_%d" % j] = dict(ee_new["ConvINAct_%d" % j])
+    ee_old["Conv1d_3"] = dict(ee_new["Conv1d_0"])
+
+    # decoder: in/up{0-3}/out convs, per-stage SampleLayerNorms, AdaIN res blocks
+    de_new = p["decoder"]["decoder"]
+    de_old = old["decoder"]["decoder"]
+    de_old["Conv1d_0"] = {"kernel": de_new["in_kernel"], "bias": de_new["in_bias"]}
+    for j in range(4):
+        de_old["Conv1d_%d" % (j + 1)] = {
+            "kernel": de_new["up%d_kernel" % j], "bias": de_new["up%d_bias" % j],
+        }
+        de_old["SampleLayerNorm_%d" % j] = {
+            "gamma": de_new["up%d_gamma" % j], "beta": de_new["up%d_beta" % j],
+        }
+    de_old["Conv1d_5"] = {"kernel": de_new["out_kernel"], "bias": de_new["out_bias"]}
+    de_old["mlp"] = de_new["mlp"]  # AdaIN param predictor: names unchanged
+    for r in range(3):
+        de_old["ResidualBlock1d_%d" % r] = {
+            "Conv1d_0": {"kernel": de_new["res%d_kernel1" % r], "bias": junk(64)},
+            "Conv1d_1": {"kernel": de_new["res%d_kernel2" % r], "bias": junk(64)},
+        }
+
+    # linear heads: w{j}/b{j} -> Dense_{j}/kernel,bias
+    for head, sub in (("restorer", "restorer"), ("classifier", "classifier")):
+        src, dst = p[head][sub], old[head][sub]
+        j = 0
+        while "w%d" % j in src:
+            dst["Dense_%d" % j] = {"kernel": src["w%d" % j], "bias": src["b%d" % j]}
+            j += 1
+    return old
+
+
+def test_migrate_params_roundtrip_semi1d(tmp_path):
+    model = IInsVAE(cir_len=L, num_classes=5)
+    state = _state(model)
+    rng = np.random.RandomState(0)
+    old_params = _oldify_semi1d(state.params, rng)
+
+    # write an old-format orbax checkpoint (old opt_state shape = old params
+    # twice, like Adam moments — migration must not touch it)
+    ckptr = ocp.StandardCheckpointer()
+    path = str(tmp_path / "old" / "epoch_7")
+    ckptr.save(path, {
+        "step": np.asarray(700, np.int32),
+        "params": old_params,
+        "batch_stats": {},
+        "opt_state": {"mu": old_params, "nu": old_params},
+    }, force=True)
+    ckptr.wait_until_finished()
+
+    fresh = _state(model)
+    # perturb fresh params so equality below proves restoration, not luck
+    fresh = fresh.replace(params=jax.tree.map(lambda a: a * 0.0, fresh.params))
+    restored = restore_checkpoint(str(tmp_path / "old"), 7, fresh, migrate=True)
+
+    assert int(restored.step) == 700
+    flat_a = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(restored.params)[0]
+    assert len(flat_a) == len(flat_b)
+    for (pa, a), (pb, b) in zip(flat_a, flat_b):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # migrated model computes the same function as the original
+    x = jnp.asarray(np.random.RandomState(1).randn(4, L), jnp.float32)
+    out_a = model.apply({"params": state.params}, x)
+    out_b = model.apply({"params": restored.params}, x)
+    np.testing.assert_allclose(
+        np.asarray(out_a["recon"]), np.asarray(out_b["recon"]), rtol=0, atol=0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_a["logits"]), np.asarray(out_b["logits"])
+    )
+
+
+def test_migrate_params_shape_mismatch_raises():
+    model = IInsVAE(cir_len=L, num_classes=5)
+    state = _state(model)
+    rng = np.random.RandomState(0)
+    old = _oldify_semi1d(state.params, rng)
+    # sabotage one kernel's shape
+    old["encoder"]["range_encoder"]["Conv1d_0"]["kernel"] = np.zeros((9, 1, 4), np.float32)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        migrate_params(old, state.params)
+
+
+def test_migrate_params_missing_key_raises():
+    model = IInsVAE(cir_len=L, num_classes=5)
+    state = _state(model)
+    old = _oldify_semi1d(state.params, np.random.RandomState(0))
+    del old["classifier"]["classifier"]["Dense_3"]
+    with pytest.raises(ValueError, match="missing"):
+        migrate_params(old, state.params)
