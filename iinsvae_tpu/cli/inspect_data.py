@@ -9,19 +9,47 @@ time, and saves a sample-CIR plot.
 
 from __future__ import annotations
 
+import argparse
 import os
 import time
 
 import numpy as np
 
-from iinsvae_tpu.config import Config, parse
+from iinsvae_tpu.config import Config, add_args, from_args
 from iinsvae_tpu.cli.common import resolve_data
 from iinsvae_tpu.data.zenodo import label_int2str
 from iinsvae_tpu.data.pipeline import UWBDataset
 
 
+def verify_data_main(cfg: Config) -> int:
+    """--verify_data: validate real-dataset placement (schema + documented
+    scale) without training anything. Exit code 0 = usable schema."""
+    from iinsvae_tpu.data.verify import print_report, verify_ewine, verify_zenodo
+
+    if cfg.dataset_name == "zenodo":
+        report = verify_zenodo(cfg.data_root)
+        print_report("zenodo %s" % cfg.data_root, report)
+    else:
+        # the ewine tree lives beside the zenodo pickle's data root
+        base = cfg.data_root if os.path.isdir(cfg.data_root) \
+            else "./data/data_ewine"
+        report = verify_ewine(base)
+        print_report("ewine %s" % base, report)
+    return 0 if report["ok"] else 1
+
+
 def main(argv=None, cfg: Config | None = None):
-    cfg = cfg or parse(argv)
+    if cfg is None:
+        parser = add_args(argparse.ArgumentParser())
+        parser.add_argument(
+            "--verify_data", action="store_true",
+            help="validate real-dataset placement (schema + documented "
+                 "counts) and exit; see docs/data.md",
+        )
+        args = parser.parse_args(argv)
+        cfg = from_args(args)
+        if args.verify_data:
+            raise SystemExit(verify_data_main(cfg))
     t0 = time.time()
     data_train, data_test = resolve_data(cfg)
     dt = time.time() - t0

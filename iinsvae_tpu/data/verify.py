@@ -1,0 +1,219 @@
+"""Real-dataset placement verification (VERDICT round-3 item 9).
+
+Validates that a `dataset.pkl` / eWine CSV tree placed under the data root
+matches the documented schema and scale, so that the first round with data
+access can produce the real-data BASELINE.md table by running one command:
+
+    python -m iinsvae_tpu.cli.inspect_data --verify_data            # zenodo
+    python -m iinsvae_tpu.cli.inspect_data --verify_data --dataset_name ewine
+
+Schema facts come from the dataset README
+(reference data/data_zenodo/README_diverse.md:6-38): columns
+CIR (157 floats) / Error (m) / Room (int 0-4) / Obstacles (10-char 0/1
+string). Scale facts come from the reference's embedded comments
+(SURVEY.md §2.1): room_full = 55,158 rows, obstacle_full = 26,553,
+obstacle_part = 13,592, paper-mode split 25,191/6,298, per-obstacle counts
+data_tools.py:176-239. Schema violations are ERRORS; count drift is a
+WARNING (a fixture, subset, or updated Zenodo deposit is still usable).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+
+from iinsvae_tpu.data.zenodo import OBSTACLE_ONEHOT, LOS_STR
+
+CIR_LEN = 157
+
+# documented per-obstacle sample counts in label order 0..9
+# (reference data_tools.py:176-239)
+_OBSTACLE_COUNTS = [954, 1971, 3354, 2966, 2888, 4182, 3581, 417, 2253, 3987]
+_DOCUMENTED = {
+    "total rows (room_full selection, data_tools.py:167)": 55158,
+    "obstacle_full rows (data_tools.py:250)": 26553,
+    "obstacle_part rows (data_tools.py:334)": 13592,
+    "big-room rows (data_tools.py:259)": 18422,
+    "medium-room rows (data_tools.py:266)": 13210,
+}
+
+
+def _sha256(path: str, chunk: int = 1 << 20) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(chunk)
+            if not b:
+                break
+            h.update(b)
+    return h.hexdigest()
+
+
+def verify_zenodo(path: str) -> dict:
+    """Validate a Zenodo dataset.pkl. Returns
+    {"ok", "errors", "warnings", "stats"} — ok means the schema is usable
+    by every loader path; warnings flag scale drift vs the documented
+    counts (e.g. a synthetic fixture)."""
+    import pandas as pd
+
+    errors, warnings, stats = [], [], {}
+    if not os.path.exists(path):
+        return {
+            "ok": False,
+            "errors": [
+                f"{path} not found — download the Deep UWB dataset "
+                "(DOI 10.5281/zenodo.4290069) and place dataset.pkl there"
+            ],
+            "warnings": [],
+            "stats": {},
+        }
+    stats["path"] = path
+    stats["bytes"] = os.path.getsize(path)
+    stats["sha256"] = _sha256(path)
+    try:
+        frame = pd.read_pickle(path)
+    except Exception as e:  # noqa: BLE001 — report, don't crash the CLI
+        return {
+            "ok": False,
+            "errors": [f"unreadable pickle: {type(e).__name__}: {e}"],
+            "warnings": [],
+            "stats": stats,
+        }
+
+    missing = [c for c in ("CIR", "Error", "Room", "Obstacles") if c not in frame.columns]
+    if missing:
+        errors.append(f"missing columns: {missing} (README_diverse.md sample structure)")
+        return {"ok": False, "errors": errors, "warnings": warnings, "stats": stats}
+
+    n = len(frame)
+    stats["rows"] = n
+    lens = frame["CIR"].map(len).to_numpy()
+    bad_len = int((lens != CIR_LEN).sum())
+    if bad_len:
+        errors.append(
+            f"{bad_len}/{n} CIR rows are not {CIR_LEN} taps "
+            f"(lengths seen: {sorted(set(lens.tolist()))[:5]})"
+        )
+
+    err = np.asarray(frame["Error"].to_numpy(), dtype=np.float64)
+    n_nonfinite = int((~np.isfinite(err)).sum())
+    if n_nonfinite:
+        errors.append(f"{n_nonfinite}/{n} non-finite Error values")
+    stats["error_range_m"] = (float(np.nanmin(err)), float(np.nanmax(err)))
+
+    rooms = np.asarray(frame["Room"].to_numpy())
+    bad_rooms = sorted(set(rooms.tolist()) - {0, 1, 2, 3, 4})
+    if bad_rooms:
+        errors.append(f"Room values outside 0-4: {bad_rooms}")
+    stats["room_counts"] = {int(r): int((rooms == r).sum()) for r in sorted(set(rooms.tolist()))}
+
+    obs = frame["Obstacles"].to_numpy()
+    malformed = [
+        s for s in set(obs.tolist())
+        if not (isinstance(s, str) and len(s) == 10 and set(s) <= {"0", "1"})
+    ]
+    if malformed:
+        errors.append(f"malformed Obstacles strings (need 10-char 0/1): {malformed[:5]}")
+    known = set(OBSTACLE_ONEHOT) | {LOS_STR}
+    multi = int(sum(1 for s in obs if isinstance(s, str) and s not in known
+                    and len(s) == 10 and set(s) <= {"0", "1"}))
+    if multi:
+        warnings.append(
+            f"{multi}/{n} rows use multi-obstacle strings — valid per the "
+            "README reading code but unused by every reference selection"
+        )
+    stats["los_rows"] = int(sum(1 for s in obs if s == LOS_STR))
+
+    # documented-scale comparison (warnings only)
+    if n != _DOCUMENTED["total rows (room_full selection, data_tools.py:167)"]:
+        warnings.append(
+            f"row count {n} != documented 55,158 — synthetic fixture, "
+            "subset, or updated deposit"
+        )
+    else:
+        onehot_counts = [int(sum(1 for s in obs if s == o)) for o in OBSTACLE_ONEHOT]
+        if onehot_counts != _OBSTACLE_COUNTS:
+            warnings.append(
+                f"per-obstacle counts {onehot_counts} differ from the "
+                f"reference's documented {_OBSTACLE_COUNTS}"
+            )
+        paper_test = int((rooms == 2).sum())
+        if paper_test != 6298:
+            warnings.append(
+                f"paper-mode test split (Room==2) has {paper_test} rows, "
+                "documented 6,298 (dataset.py:193)"
+            )
+
+    return {"ok": not errors, "errors": errors, "warnings": warnings, "stats": stats}
+
+
+def verify_ewine(base_dir: str) -> dict:
+    """Validate an eWine CSV tree (reference data_tools.py:14-109 geometry:
+    >= 18 header columns + raw CIR taps; 152-tap window must fit at
+    first-path index + 15)."""
+    import pandas as pd
+
+    errors, warnings, stats = [], [], {}
+    if not os.path.isdir(base_dir):
+        return {
+            "ok": False,
+            "errors": [
+                f"{base_dir} not found — place the eWine measurement CSVs "
+                "under it (e.g. dataset1/tag_room0.csv)"
+            ],
+            "warnings": [],
+            "stats": {},
+        }
+    csvs = sorted(
+        os.path.join(r, f)
+        for r, _, files in os.walk(base_dir)
+        for f in files
+        if f.endswith(".csv")
+    )
+    stats["csv_files"] = len(csvs)
+    if not csvs:
+        errors.append(f"no .csv files under {base_dir}")
+        return {"ok": False, "errors": errors, "warnings": warnings, "stats": stats}
+
+    rows = 0
+    for path in csvs:
+        try:
+            df = pd.read_csv(path)
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"{path}: unreadable ({type(e).__name__}: {e})")
+            continue
+        arr = df.to_numpy()
+        rows += arr.shape[0]
+        if arr.shape[1] < 18 + 152:
+            errors.append(
+                f"{path}: {arr.shape[1]} columns < 18 header + 152 CIR taps"
+            )
+            continue
+        fp = arr[:, 8].astype(np.int64)
+        overflow = int((fp + 15 + 152 > arr.shape[1] - 18).sum())
+        if overflow:
+            warnings.append(
+                f"{path}: {overflow}/{arr.shape[0]} rows where the 152-tap "
+                "window at first-path+15 overruns the taps (loader clamps)"
+            )
+        if (arr[:, 17] == 0).any():
+            errors.append(f"{path}: zero max-amplitude rows (divide-by-zero)")
+    stats["rows"] = rows
+    if rows != 31489:
+        warnings.append(
+            f"total rows {rows} != documented 31,489 (dataset.py:171) — "
+            "synthetic fixture or partial download"
+        )
+    return {"ok": not errors, "errors": errors, "warnings": warnings, "stats": stats}
+
+
+def print_report(name: str, report: dict) -> None:
+    print(f"[verify_data] {name}: {'OK' if report['ok'] else 'FAILED'}")
+    for k, v in report["stats"].items():
+        print(f"  {k}: {v}")
+    for w in report["warnings"]:
+        print(f"  WARNING: {w}")
+    for e in report["errors"]:
+        print(f"  ERROR: {e}")
