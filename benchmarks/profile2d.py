@@ -22,20 +22,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=500)
     ap.add_argument("--compute_dtype", default="float32")
-    ap.add_argument("--no_phase_sln", action="store_true",
-                    help="A/B: disable the fused channels-first upsample "
-                         "stage kernel (ops/pallas/phase_sln.py)")
     ap.add_argument("--shuffle_first", action="store_true",
                     help="A/B: pixel-shuffle before SLN+relu on the "
                          "non-sliced upsample stages (exact reorder)")
     args = ap.parse_args()
-
-    if args.no_phase_sln:
-        from iinsvae_tpu.ops.pallas import phase_sln
-        phase_sln.set_enabled(False)
-    if args.shuffle_first:
-        from iinsvae_tpu.models import decoders
-        decoders.set_shuffle_first(True)
 
     import jax
     import jax.numpy as jnp
@@ -72,7 +62,8 @@ def main():
         return best / REPS
 
     # --- full step (scanned; state chains through the scan) ---
-    model = IInsVAE(cir_len=157, num_classes=5, style_dim=16, conv_type=2,
+    model = IInsVAE(shuffle_first=args.shuffle_first,
+                    cir_len=157, num_classes=5, style_dim=16, conv_type=2,
                     expand=True)
     variables = model.init({"params": key}, jnp.ones((2, 157)))
     tx = make_optimizer(1e-4, 0.5, 0.999, n_epochs=500, decay_start_epoch=100,
@@ -112,7 +103,8 @@ def main():
     print(f"encoder fwd+bwd:       {t_enc*1e3:8.3f} ms")
 
     # --- decoder fwd+bwd ---
-    dec = Decoder(conv_type=2, expand=True, dim=4, style_dim=16)
+    dec = Decoder(conv_type=2, expand=True, dim=4, style_dim=16,
+                  shuffle_first=args.shuffle_first)
     rc = jnp.asarray(rng.standard_normal((b, 8, 8, 2)), cdt)
     ec = jnp.asarray(rng.standard_normal((b, 8)), cdt)
     dvars = dec.init({"params": key}, rc[:2], ec[:2])

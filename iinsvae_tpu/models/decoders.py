@@ -24,63 +24,12 @@ from iinsvae_tpu.ops.pooling import adaptive_avg_pool1d, adaptive_avg_pool2d
 from iinsvae_tpu.ops.conv import upsample_nearest1d, upsample_nearest2d
 
 
-# Lowering for the expanded 2-D decoder: 'fast' (W-folded res tail, subpixel
-# phase upsample convs, column-0-only final stage) or 'dense' (the reference
-# op sequence, parity oracle). One parameter set drives both.
-_DECODER2D_IMPL = "fast"
-
-# Grouping plan for Decoder1d's fused-CHAIN lowering over its 13-stage
-# stack (in, 3x AdaIN residual blocks of 2 stages, 4 SLN upsample stages,
-# out, pool) — default: the round-2 hand-built grouping (in | blocks |
-# whole tail). Measured per-site via benchmarks/chain_probe.py.
-_DEC1D_PLAN = (1, 2, 2, 2, 6)
-
-# Which fused lowering Decoder1d uses on TPU: 'handbuilt' = the round-2
-# specialized kernels (fused_dense_layer / fused_adain_res_block /
-# fused_sln_chain — measured faster, BASELINE.md round-3 log); 'chain' =
-# the generic builder under _DEC1D_PLAN. Same math (parity-tested); read
-# at trace time, not a jit cache key.
-_DEC1D_IMPL = "handbuilt"
-
-# Stage ordering for Decoder2d's non-sliced upsample stages: False =
-# conv -> SLN(tiled affine) -> relu -> pixel_shuffle (the shipped order);
-# True = conv -> pixel_shuffle -> SLN(per-channel affine) -> relu. Exact
-# either way (the per-sample whole-tensor SLN stats are layout-invariant
-# and the tiled affine indexes gamma[c] for phase channel (p,q,c)); kept
-# as a measured A/B knob for XLA's fusion of the transpose with the
-# normalize/relu pass (benchmarks/profile2d.py --shuffle_first).
-_SHUFFLE_FIRST = False
-
-
-def set_shuffle_first(v: bool) -> None:
-    global _SHUFFLE_FIRST
-    _SHUFFLE_FIRST = bool(v)
-
-
-def set_dec1d_plan(plan) -> None:
-    global _DEC1D_PLAN
-    _DEC1D_PLAN = tuple(plan)
-
-
-def set_dec1d_impl(impl: str) -> None:
-    """Set the DEFAULT 1-D lowering for Decoder1d instances whose ``impl``
-    field is None. Read at trace time, not a jit cache key — call BEFORE
-    any step is traced, or pass ``Decoder1d(impl=...)`` explicitly
-    (ADVICE round-2)."""
-    global _DEC1D_IMPL
-    assert impl in ("handbuilt", "chain")
-    _DEC1D_IMPL = impl
-
-
-def set_decoder2d_impl(impl: str) -> None:
-    """Set the DEFAULT lowering for Decoder facades whose ``lowering`` field
-    is None. Read at trace time, not a jit cache key — call BEFORE tracing,
-    or pass ``Decoder(lowering=...)`` explicitly (ADVICE round-2). Note the
-    two lowerings return different shapes from Decoder2d; the facade
-    normalizes both to (B, in_dim)."""
-    global _DECODER2D_IMPL
-    assert impl in ("fast", "dense")
-    _DECODER2D_IMPL = impl
+# 2-D decoder lowerings (selected at construction via the facade's
+# ``lowering`` field — no trace-time module globals, VERDICT round-3
+# item 2): 'fast' (W-folded res tail, subpixel phase upsample convs,
+# column-0-only final stage, the default) or 'dense' (the reference op
+# sequence, parity oracle). One parameter set drives both; the facade
+# normalizes their differing output shapes to (B, in_dim).
 
 
 def slice_adain_params(adain_params: jnp.ndarray, n_blocks: int, features: int):
@@ -117,15 +66,9 @@ class Decoder1d(nn.Module):
     in_dim: int = 157
     out_dim: int = 2
     style_dim: int = 8
-    # pins the 1-D lowering ('handbuilt' | 'chain') at construction; None
-    # falls back to the set_dec1d_impl module default (read at trace time —
-    # see its docstring; ADVICE round-2)
-    impl: str | None = None
 
     @nn.compact
     def __call__(self, range_code, env_code):
-        impl = self.impl or _DEC1D_IMPL
-        assert impl in ("handbuilt", "chain"), impl
         from iinsvae_tpu.models.layers import (
             conv_normal_init,
             _bias_uniform_init,
@@ -176,11 +119,11 @@ class Decoder1d(nn.Module):
 
         use_fused = pf.pallas_enabled() and b <= pf.MAX_FUSED_BATCH
 
-        if use_fused and impl == "handbuilt":
-            # round-2 specialized lowering: in-stage one kernel, each AdaIN
-            # residual block one whole-block kernel, the whole upsample tail
-            # + final conv+tanh+pool one kernel (fused_sln_chain) — measured
-            # faster than the generic chain (BASELINE.md round-3 log).
+        if use_fused:
+            # specialized lowering: in-stage one kernel, each AdaIN residual
+            # block one whole-block kernel, the whole upsample tail + final
+            # conv+tanh+pool one kernel (fused_sln_chain); identical math to
+            # the composed path below.
             x2 = range_code.reshape(b, l0 * self.out_dim)
             m_in = dense_ops.dense_conv_matrix(in_kernel, l0)
             x2 = pf.fused_dense_layer(
@@ -219,65 +162,6 @@ class Decoder1d(nn.Module):
                 x2, tuple(ms), tuple(gammas), tuple(betas),
                 m_out, jnp.tile(out_bias, l).reshape(1, -1), pool,
                 biases=tuple(biases),
-            )
-
-        if use_fused:
-            from iinsvae_tpu.ops.pallas.chain import Stage, run_plan
-
-            descs = [(
-                Stage(n=l0 * dim, norm="none", act="relu", bias=True),
-                {"m": dense_ops.dense_conv_matrix(in_kernel, l0),
-                 "bias": jnp.tile(in_bias, l0)},
-            )]
-            for i in range(self.n_residual):
-                (g1, b1), (g2, b2) = per_block[i]
-                m1 = dense_ops.dense_conv_matrix(
-                    blk_kernels[i][0], l0, padding=1, pad_mode="reflect",
-                    centered=True,
-                )
-                m2 = dense_ops.dense_conv_matrix(
-                    blk_kernels[i][1], l0, padding=1, pad_mode="reflect",
-                    centered=True,
-                )
-                base = len(descs)
-                descs.append((
-                    Stage(n=l0 * dim, norm="in", act="relu", l_out=l0,
-                          c_out=dim, affine="sample"),
-                    {"m": m1, "centered": True,
-                     "gamma": jnp.tile(g1, (1, l0)), "beta": jnp.tile(b1, (1, l0))},
-                ))
-                descs.append((
-                    Stage(n=l0 * dim, norm="in", act="none", l_out=l0,
-                          c_out=dim, affine="sample", res_from=base),
-                    {"m": m2, "centered": True,
-                     "gamma": jnp.tile(g2, (1, l0)), "beta": jnp.tile(b2, (1, l0))},
-                ))
-            l = l0
-            for j in range(self.n_upsample):
-                m_up = dense_ops.dense_upconv_matrix(up_kernels[j], l, padding=2)
-                l *= 2
-                descs.append((
-                    Stage(n=m_up.shape[1], norm="sln", act="relu", bias=True,
-                          affine="chan"),
-                    {"m": m_up,
-                     "bias": jnp.tile(up_biases[j], l).reshape(1, -1),
-                     "gamma": jnp.tile(up_gammas[j], l).reshape(1, -1),
-                     "beta": jnp.tile(up_betas[j], l).reshape(1, -1)},
-                ))
-            m_out = dense_ops.dense_conv_matrix(
-                out_kernel, l, padding=3, pad_mode="reflect"
-            )
-            pool = adaptive_avg_pool_matrix(l, self.in_dim)
-            descs.append((
-                Stage(n=l, norm="none", act="tanh", bias=True),
-                {"m": m_out, "bias": jnp.tile(out_bias, l).reshape(1, -1)},
-            ))
-            descs.append((
-                Stage(n=self.in_dim, norm="none", act="none"),
-                {"m": pool},
-            ))
-            return run_plan(
-                range_code.reshape(b, l0 * self.out_dim), descs, _DEC1D_PLAN
             )
 
         # ---- composed reference path (identical math) ----
@@ -324,6 +208,12 @@ class Decoder2d(nn.Module):
     out_dim: int = 2
     style_dim: int = 8
     lowering: str = "fast"  # 'fast' | 'dense'
+    # A/B knob for the non-sliced upsample stages: False = conv ->
+    # SLN(tiled affine) -> relu -> pixel_shuffle (shipped order); True =
+    # conv -> pixel_shuffle -> SLN(per-channel affine) -> relu. Exact
+    # either way (the per-sample whole-tensor SLN stats are layout-
+    # invariant); measured via benchmarks/profile2d.py --shuffle_first.
+    shuffle_first: bool = False
 
     @nn.compact
     def __call__(self, range_code, env_code):
@@ -391,69 +281,51 @@ class Decoder2d(nn.Module):
                     y = cg.conv2d_grouped(y, k2, b2, padding=1, pad_mode="reflect")
                     xg = cg.add_grouped(xg, cg.adain_grouped(y, g2, be2))
                 x = xg.expand()
-            # Upsample stages: once the field fills whole 128-lane tiles
-            # (H*W >= 128), each conv+SLN+relu runs as ONE channels-first
-            # Pallas kernel (ops/pallas/phase_sln.py) — the conv->SLN HBM
-            # round trip is gone (a STANDALONE Pallas SLN was measured and
-            # rejected in round 2: XLA's own SLN already streams at
-            # bandwidth; only fusion with the conv producer wins). The 8x8
-            # entry stage (64 lanes) stays on the XLA phase-conv path.
-            from iinsvae_tpu.ops.pallas import phase_sln
-
-            cf = False  # channels-first from the first applicable stage on
+            # Upsample stages on the XLA subpixel phase-conv path. (A fused
+            # channels-first conv+SLN Pallas kernel for these stages was
+            # built and MEASURED 2.7x slower than XLA's fusion — removed in
+            # round 4; BASELINE.md round-3 log, history: commit 4f6faf4^.
+            # A standalone Pallas SLN was likewise measured and rejected in
+            # round 2: XLA's own SLN already streams at bandwidth.)
             for j, (k_up, b_up, gamma, beta) in enumerate(ups):
-                if pf.pallas_enabled() and not cf:
-                    b0, h0, w0, c0_ = x.shape
-                    if phase_sln.applicable(h0, w0, c0_, b0):
-                        x = x.transpose(0, 3, 1, 2)  # -> (B, C, H, W)
-                        cf = True
-                if cf:
-                    z = phase_sln.fused_upsample_sln(x, k_up, b_up, gamma, beta)
-                    x = phase_sln.pixel_shuffle2_cf(z)
-                else:
-                    z = sp.upsample_conv5_phase(x, k_up, b_up)
-                    if j == len(ups) - 1 and x.shape[2] >= 2:
-                        # Last stage: its output feeds ONLY the 7-tap
-                        # reflect gather below, which reads post-shuffle
-                        # columns {0,1,2,3} = pre-shuffle columns {0,1}.
-                        # The whole-tensor SLN stats still need the FULL
-                        # conv output, but normalize/relu/shuffle run on
-                        # the 2-column slice — skipping the full-field
-                        # normalized write + re-read of the widest tensor
-                        # in the decoder ((B, 64, 64, 16) at the flagship
-                        # geometry). Exact: identical ops on the kept
-                        # columns, zero grads through the dropped ones
-                        # (stats coupling is preserved via the full-z
-                        # reduction).
-                        from iinsvae_tpu.ops.norms import (
-                            sample_layer_norm_apply,
-                            sample_layer_norm_stats,
-                        )
+                z = sp.upsample_conv5_phase(x, k_up, b_up)
+                if j == len(ups) - 1 and x.shape[2] >= 2:
+                    # Last stage: its output feeds ONLY the 7-tap
+                    # reflect gather below, which reads post-shuffle
+                    # columns {0,1,2,3} = pre-shuffle columns {0,1}.
+                    # The whole-tensor SLN stats still need the FULL
+                    # conv output, but normalize/relu/shuffle run on
+                    # the 2-column slice — skipping the full-field
+                    # normalized write + re-read of the widest tensor
+                    # in the decoder ((B, 64, 64, 16) at the flagship
+                    # geometry). Exact: identical ops on the kept
+                    # columns, zero grads through the dropped ones
+                    # (stats coupling is preserved via the full-z
+                    # reduction).
+                    from iinsvae_tpu.ops.norms import (
+                        sample_layer_norm_apply,
+                        sample_layer_norm_stats,
+                    )
 
-                        mean, std = sample_layer_norm_stats(z)
-                        z = sample_layer_norm_apply(
-                            z[:, :, :2, :], mean, std,
-                            jnp.tile(gamma, 4), jnp.tile(beta, 4),
-                        )
-                        x = sp.pixel_shuffle2(nn.relu(z))
-                    elif _SHUFFLE_FIRST:
-                        x = sp.pixel_shuffle2(z)
-                        x = nn.relu(sample_layer_norm(x, gamma, beta))
-                    else:
-                        z = sample_layer_norm(z, jnp.tile(gamma, 4), jnp.tile(beta, 4))
-                        x = sp.pixel_shuffle2(nn.relu(z))
+                    mean, std = sample_layer_norm_stats(z)
+                    z = sample_layer_norm_apply(
+                        z[:, :, :2, :], mean, std,
+                        jnp.tile(gamma, 4), jnp.tile(beta, 4),
+                    )
+                    x = sp.pixel_shuffle2(nn.relu(z))
+                elif self.shuffle_first:
+                    x = sp.pixel_shuffle2(z)
+                    x = nn.relu(sample_layer_norm(x, gamma, beta))
+                else:
+                    z = sample_layer_norm(z, jnp.tile(gamma, 4), jnp.tile(beta, 4))
+                    x = sp.pixel_shuffle2(nn.relu(z))
             # final 7x7 reflect conv + (in_dim, in_dim) pool, column 0 only:
             # W-pool output column 0 averages exactly input column 0 (window
             # [0, ceil(W/in_dim)) = [0,1) since in_dim > W), and conv column
             # 0 reads reflect-padded columns [3,2,1,0,1,2,3].
             cols = jnp.asarray([3, 2, 1, 0, 1, 2, 3], jnp.int32)
-            if cf:
-                b_sz, c, h, w = x.shape
-                xcols = jnp.take(x, cols, axis=3)  # (B, C, H, 7)
-                xcols = xcols.transpose(0, 2, 3, 1)  # (B, H, 7, C)
-            else:
-                b_sz, h, w, c = x.shape
-                xcols = jnp.take(x, cols, axis=2)  # (B, H, 7, C)
+            b_sz, h, w, c = x.shape
+            xcols = jnp.take(x, cols, axis=2)  # (B, H, 7, C)
             k1d = k_out.reshape(7, 7 * c, 1)  # (t_h, (t_w, ci), 1)
             y = conv_ops.conv1d(
                 xcols.reshape(b_sz, h, 7 * c), k1d, b_out,
@@ -529,8 +401,9 @@ class Decoder(nn.Module):
     out_dim: int = 2
     style_dim: int = 8
     expand: bool = False
-    # 'fast' | 'dense' | None (= module default, set_decoder2d_impl)
+    # 'fast' (default) | 'dense' (parity oracle); None = 'fast'
     lowering: Optional[str] = None
+    shuffle_first: bool = False  # see Decoder2d.shuffle_first
 
     @nn.compact
     def __call__(self, range_code, env_code):
@@ -540,11 +413,11 @@ class Decoder(nn.Module):
                 self.out_dim, self.style_dim, name="decoder",
             )(range_code, env_code)
         if self.conv_type == 2 and self.expand:
-            impl = self.lowering or _DECODER2D_IMPL
+            impl = self.lowering or "fast"
             x = Decoder2d(
                 self.dim, self.n_residual, self.n_upsample, self.in_dim,
                 self.out_dim, self.style_dim, name="decoder",
-                lowering=impl,
+                lowering=impl, shuffle_first=self.shuffle_first,
             )(range_code, env_code)
             if impl == "fast":
                 return x  # already the first column, (B, in_dim)

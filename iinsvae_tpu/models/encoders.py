@@ -37,82 +37,32 @@ from iinsvae_tpu.ops import colgroups as cg
 from iinsvae_tpu.ops import conv as conv_ops
 
 
-# Lowering for the expanded 2-D path (conv_type=2): 'grouped' carries only
-# the distinct columns of the column-constant expanded image (exact — see
-# ops/colgroups.py); 'dense' materializes the (B, H, W, C) fields and is the
-# parity oracle.
-_CONV2D_EXPAND_IMPL = "grouped"
-
-
-def set_conv2d_expand_impl(impl: str) -> None:
-    """Set the DEFAULT lowering for Encoder instances whose ``lowering``
-    field is None. The default is read at trace time and is not part of any
-    jit cache key — call this BEFORE any train/eval step is traced, or pass
-    ``Encoder(lowering=...)`` / ``IInsVAE(lowering_2d=...)`` explicitly
-    (ADVICE round-2)."""
-    global _CONV2D_EXPAND_IMPL
-    assert impl in ("grouped", "dense")
-    _CONV2D_EXPAND_IMPL = impl
-
-
-def get_conv2d_expand_impl() -> str:
-    return _CONV2D_EXPAND_IMPL
-
-
-# Grouping plan for the 1-D range encoder's fused-CHAIN lowering: sizes of
-# the consecutive fused_chain launches over the 12-stage stack (5
-# conv+IN+relu, 3 residual blocks of 2 stages each, 1x1 head). Measured
-# per-site (benchmarks/chain_probe.py) against the ~12 MB live-VMEM ceiling.
-_ENC1D_PLAN = (2, 2, 1, 2, 2, 2, 1)
-
-# Which fused lowering RangeEncoder1d uses on TPU. 'handbuilt' = the
-# round-2 specialized kernels (fused_in_pair / fused_res_block /
-# fused_dense_layer — 710k samples/sec on the flagship step); 'chain' =
-# the generic fused-chain builder under _ENC1D_PLAN (669-675k: its VJP
-# saves every pre-norm activation where the specialized kernels save the
-# minimal residual set — BASELINE.md round-3 log). Same math either way
-# (parity-tested); read at trace time, not a jit cache key.
-_ENC1D_IMPL = "handbuilt"
-
-
-def set_enc1d_plan(plan) -> None:
-    global _ENC1D_PLAN
-    _ENC1D_PLAN = tuple(plan)
-
-
-def set_enc1d_impl(impl: str) -> None:
-    """Set the DEFAULT 1-D lowering for RangeEncoder1d instances whose
-    ``impl`` field is None. The default is read at trace time and is not
-    part of any jit cache key — call BEFORE any step is traced, or pass
-    ``RangeEncoder1d(impl=...)`` explicitly (ADVICE round-2)."""
-    global _ENC1D_IMPL
-    assert impl in ("handbuilt", "chain")
-    _ENC1D_IMPL = impl
+# 2-D lowering defaults (construction-time fields on the facades, not
+# module globals — the round-3 trace-time setters were a footgun, VERDICT
+# round-3 item 2): Encoder 'grouped' carries only the distinct columns of
+# the column-constant expanded image (exact — ops/colgroups.py); 'dense'
+# materializes the (B, H, W, C) fields and is the parity oracle.
 
 
 class RangeEncoder1d(nn.Module):
-    """On TPU the stack lowers through the specialized round-2 kernels by
-    default ('handbuilt': conv stages paired via fused_in_pair, one
-    whole-block kernel per residual block, fused head) or through the
-    generic fused-chain kernel (ops/pallas/chain.py) under the _ENC1D_PLAN
-    grouping ('chain') — same math. The ``impl`` field pins the choice at
-    construction; None falls back to the set_enc1d_impl module default
-    (which is read at trace time — see its docstring). Reference
-    models.py:140-176."""
+    """On TPU the stack lowers through the specialized fused kernels
+    (conv stages paired via fused_in_pair, one whole-block kernel per
+    residual block, fused head — 710k samples/sec on the flagship step);
+    off-TPU (or past the fused batch cap) through the composed dense-matmul
+    path, identical math (parity: tests/test_pallas.py). A generic
+    fused-chain builder and a phase-SLN kernel were measured slower and
+    removed in round 4 (BASELINE.md round log; history: commit c90d074).
+    Reference models.py:140-176."""
 
     dim: int = 4
     n_residual: int = 3
     n_downsample: int = 4
     out_dim: int = 2
-    impl: str | None = None
 
     @nn.compact
     def __call__(self, x):  # (B, L, 1)
-        impl = self.impl or _ENC1D_IMPL
-        assert impl in ("handbuilt", "chain"), impl
         from iinsvae_tpu.ops import dense_conv as dense_ops
         from iinsvae_tpu.ops.pallas import fused as pf
-        from iinsvae_tpu.ops.pallas.chain import Stage, run_plan
         from iinsvae_tpu.models.layers import conv_normal_init, _bias_uniform_init
         from iinsvae_tpu.ops import norms as norm_ops
 
@@ -140,11 +90,10 @@ class RangeEncoder1d(nn.Module):
         out_bias = self.param("out_bias", _bias_uniform_init(dim), (self.out_dim,))
 
         use_fused = pf.pallas_enabled() and b <= pf.MAX_FUSED_BATCH
-        if use_fused and impl == "handbuilt":
-            # round-2 specialized lowering: conv stages PAIRED two per
-            # kernel, each residual block one whole-block kernel, head one
-            # kernel — measured faster than the generic chain (BASELINE.md
-            # round-3 log); identical math to both other paths.
+        if use_fused:
+            # specialized lowering: conv stages PAIRED two per kernel, each
+            # residual block one whole-block kernel, head one kernel —
+            # identical math to the composed path below.
             x2 = x.reshape(b, l_in)
             i = 0
             cur_l = l_in
@@ -186,43 +135,6 @@ class RangeEncoder1d(nn.Module):
                 x2, m_out, l_out=l, c_out=self.out_dim, norm="none",
                 act="relu", bias=jnp.tile(out_bias, l))
             return x2.reshape(b, l, self.out_dim)
-        if use_fused:
-            descs = []
-            cur_l = l_in
-            for (k, s, p, m, la, ca) in stages:
-                mm = dense_ops.dense_conv_matrix(
-                    k.astype(x.dtype), cur_l, stride=s, padding=p, pad_mode=m,
-                    centered=True)
-                descs.append((
-                    Stage(n=la * ca, norm="in", act="relu", l_out=la, c_out=ca),
-                    {"m": mm, "centered": True},
-                ))
-                cur_l = la
-            for i, (k1, k2) in enumerate(res_kernels):
-                m1 = dense_ops.dense_conv_matrix(
-                    k1.astype(x.dtype), l, padding=1, pad_mode="reflect",
-                    centered=True)
-                m2 = dense_ops.dense_conv_matrix(
-                    k2.astype(x.dtype), l, padding=1, pad_mode="reflect",
-                    centered=True)
-                base = len(descs)
-                descs.append((
-                    Stage(n=l * dim, norm="in", act="relu", l_out=l, c_out=dim),
-                    {"m": m1, "centered": True},
-                ))
-                descs.append((
-                    Stage(n=l * dim, norm="in", act="none", l_out=l, c_out=dim,
-                          res_from=base),
-                    {"m": m2, "centered": True},
-                ))
-            descs.append((
-                Stage(n=l * self.out_dim, norm="none", act="relu", bias=True),
-                {"m": dense_ops.dense_conv_matrix(out_kernel.astype(x.dtype), l),
-                 "bias": jnp.tile(out_bias, l)},
-            ))
-            x2 = run_plan(x.reshape(b, l_in), descs, _ENC1D_PLAN)
-            return x2.reshape(b, l, self.out_dim)
-
         # composed path, identical math
         for (k, s, p, m, _, _) in stages:
             x = dense_ops.conv1d_dense(x, k, None, stride=s, padding=p,
@@ -495,7 +407,8 @@ class Encoder(nn.Module):
     style_dim: int = 8
     out_dim: int = 2
     expand: bool = False
-    # 'grouped' | 'dense' | None (= module default, set_conv2d_expand_impl)
+    # 'grouped' (default, column-compressed exact lowering) | 'dense'
+    # (materialized-field parity oracle); None = 'grouped'
     lowering: Optional[str] = None
     # env-branch conv init: 'reference' (weights_init_normal N(0,0.02)) or
     # the opt-in 'torch' default — measured +8 points env-ID accuracy at
@@ -521,7 +434,7 @@ class Encoder(nn.Module):
             # lowering the square image is never materialized: the expansion
             # is column-constant, so the encoders carry only its distinct
             # columns (ops/colgroups.py) — exact, parity-tested.
-            if (self.lowering or _CONV2D_EXPAND_IMPL) == "grouped":
+            if (self.lowering or "grouped") == "grouped":
                 xin = cg.constant_field(x.reshape(b, l, 1), l)
             else:
                 xin = jnp.broadcast_to(x[:, :, None], (b, l, l))[..., None]

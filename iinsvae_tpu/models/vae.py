@@ -43,10 +43,11 @@ class IInsVAE(nn.Module):
     soft: bool = False
     expand: bool = False
     # Explicit 2-D lowering choice: encoder 'grouped'/'dense', decoder
-    # 'fast'/'dense'. None = the module-level defaults (which are read at
-    # trace time — see set_conv2d_expand_impl / set_decoder2d_impl).
+    # 'fast'/'dense'. None = the production lowerings ('grouped'/'fast');
+    # 'dense' selects the parity-oracle paths (used by tests).
     enc_lowering: Optional[str] = None
     dec_lowering: Optional[str] = None
+    shuffle_first: bool = False  # see Decoder2d.shuffle_first
     # env-branch conv init: 'reference' = the reference's weights_init_normal
     # N(0, 0.02); 'torch' = torch's Conv default U(+-1/sqrt(fan_in)) — an
     # opt-in deviation measured +8 points env-ID accuracy at equal range
@@ -64,7 +65,7 @@ class IInsVAE(nn.Module):
             conv_type=self.conv_type, dim=self.dim, n_residual=self.n_residual,
             n_upsample=self.n_downsample, in_dim=self.cir_len,
             out_dim=self.range_dim, style_dim=self.style_dim, expand=self.expand,
-            lowering=self.dec_lowering,
+            lowering=self.dec_lowering, shuffle_first=self.shuffle_first,
         )
         self.restorer = Restorer(
             soft=self.soft, conv_type=self.conv_type, expand=self.expand,

@@ -20,7 +20,6 @@ from iinsvae_tpu.models.encoders import (
     Encoder,
     RangeEncoder2d,
     EnvEncoder2d,
-    set_conv2d_expand_impl,
 )
 
 
@@ -122,15 +121,11 @@ def test_env_encoder2d_grouped_vs_dense():
 
 def test_encoder_facade_grouped_vs_dense():
     x = jax.random.normal(jax.random.PRNGKey(0), (3, 157))
-    enc = Encoder(conv_type=2, expand=True, style_dim=16)
-    try:
-        set_conv2d_expand_impl("dense")
-        variables = enc.init({"params": jax.random.PRNGKey(1)}, x)
-        rc_d, cat_d, _, kl_d = enc.apply(variables, x)
-        set_conv2d_expand_impl("grouped")
-        rc_g, cat_g, _, kl_g = enc.apply(variables, x)
-    finally:
-        set_conv2d_expand_impl("grouped")
+    enc_d = Encoder(conv_type=2, expand=True, style_dim=16, lowering="dense")
+    enc_g = Encoder(conv_type=2, expand=True, style_dim=16, lowering="grouped")
+    variables = enc_d.init({"params": jax.random.PRNGKey(1)}, x)
+    rc_d, cat_d, _, kl_d = enc_d.apply(variables, x)
+    rc_g, cat_g, _, kl_g = enc_g.apply(variables, x)
     np.testing.assert_allclose(rc_g, rc_d, rtol=5e-4, atol=5e-5)
     np.testing.assert_allclose(cat_g, cat_d, rtol=5e-4, atol=5e-5)
     np.testing.assert_allclose(kl_g, kl_d, rtol=5e-4, atol=5e-5)
@@ -140,20 +135,20 @@ def test_encoder_facade_grouped_grad_matches_dense():
     # small config (dim=2, one res block) — parity logic is size-independent
     # and the dense 2-D backward at full size costs minutes on one CPU core
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 157))
-    enc = Encoder(conv_type=2, expand=True, style_dim=16, dim=2, n_residual=1)
-    try:
-        set_conv2d_expand_impl("dense")
-        variables = enc.init({"params": jax.random.PRNGKey(1)}, x)
+    enc_d = Encoder(conv_type=2, expand=True, style_dim=16, dim=2,
+                    n_residual=1, lowering="dense")
+    enc_g = Encoder(conv_type=2, expand=True, style_dim=16, dim=2,
+                    n_residual=1, lowering="grouped")
+    variables = enc_d.init({"params": jax.random.PRNGKey(1)}, x)
 
-        def loss(params):
+    def loss(enc):
+        def inner(params):
             rc, cat, _, kl = enc.apply({"params": params}, x)
             return jnp.sum(rc**2) + jnp.sum(cat**2) + kl
+        return inner
 
-        g_dense = jax.grad(loss)(variables["params"])
-        set_conv2d_expand_impl("grouped")
-        g_grouped = jax.grad(loss)(variables["params"])
-    finally:
-        set_conv2d_expand_impl("grouped")
+    g_dense = jax.grad(loss(enc_d))(variables["params"])
+    g_grouped = jax.grad(loss(enc_g))(variables["params"])
     flat_d = jax.tree_util.tree_leaves_with_path(g_dense)
     flat_g = {jax.tree_util.keystr(k): v
               for k, v in jax.tree_util.tree_leaves_with_path(g_grouped)}

@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from iinsvae_tpu.models.decoders import Decoder, Decoder2d, set_decoder2d_impl
+from iinsvae_tpu.models.decoders import Decoder, Decoder2d
 from iinsvae_tpu.ops import subpixel as sp
 from iinsvae_tpu.ops import conv as conv_ops
 
@@ -55,36 +55,32 @@ def test_decoder2d_fast_vs_dense():
 
 def test_decoder_facade_fast_vs_dense():
     rc, ec = _decoder_io(jax.random.PRNGKey(2))
-    dec = Decoder(conv_type=2, expand=True)
-    try:
-        set_decoder2d_impl("dense")
-        variables = dec.init(jax.random.PRNGKey(1), rc, ec)
-        out_dense = dec.apply(variables, rc, ec)
-        set_decoder2d_impl("fast")
-        out_fast = dec.apply(variables, rc, ec)
-    finally:
-        set_decoder2d_impl("fast")
+    dec_d = Decoder(conv_type=2, expand=True, lowering="dense")
+    dec_f = Decoder(conv_type=2, expand=True, lowering="fast")
+    variables = dec_d.init(jax.random.PRNGKey(1), rc, ec)
+    out_dense = dec_d.apply(variables, rc, ec)
+    out_fast = dec_f.apply(variables, rc, ec)
     np.testing.assert_allclose(out_fast, out_dense, rtol=5e-4, atol=5e-5)
 
 
 def test_decoder_facade_fast_grad_matches_dense():
     # small config — see test_colgroups.py's grad test note
     rc, ec = _decoder_io(jax.random.PRNGKey(3))
-    dec = Decoder(conv_type=2, expand=True, dim=2, n_residual=1)
-    try:
-        set_decoder2d_impl("dense")
-        variables = dec.init(jax.random.PRNGKey(1), rc, ec)
+    dec_d = Decoder(conv_type=2, expand=True, dim=2, n_residual=1,
+                    lowering="dense")
+    dec_f = Decoder(conv_type=2, expand=True, dim=2, n_residual=1,
+                    lowering="fast")
+    variables = dec_d.init(jax.random.PRNGKey(1), rc, ec)
 
-        def loss(params, rc_in, ec_in):
+    def loss(dec):
+        def inner(params, rc_in, ec_in):
             return jnp.sum(dec.apply({"params": params}, rc_in, ec_in) ** 2)
+        return inner
 
-        g_dense, gx_dense = jax.grad(loss, argnums=(0, 1))(
-            variables["params"], rc, ec)
-        set_decoder2d_impl("fast")
-        g_fast, gx_fast = jax.grad(loss, argnums=(0, 1))(
-            variables["params"], rc, ec)
-    finally:
-        set_decoder2d_impl("fast")
+    g_dense, gx_dense = jax.grad(loss(dec_d), argnums=(0, 1))(
+        variables["params"], rc, ec)
+    g_fast, gx_fast = jax.grad(loss(dec_f), argnums=(0, 1))(
+        variables["params"], rc, ec)
     np.testing.assert_allclose(gx_fast, gx_dense, rtol=5e-3, atol=1e-4)
     flat_d = jax.tree_util.tree_leaves_with_path(g_dense)
     flat_f = {jax.tree_util.keystr(k): v
@@ -100,17 +96,12 @@ def test_decoder2d_shuffle_first_exact():
     # conv -> shuffle -> SLN(per-channel) -> relu is an exact reorder of
     # conv -> SLN(tiled) -> relu -> shuffle (whole-tensor per-sample stats
     # are layout-invariant); the A/B knob must not change the output
-    from iinsvae_tpu.models import decoders
-
     rc, ec = _decoder_io(jax.random.PRNGKey(4))
     fast = Decoder2d(lowering="fast")
+    reordering = Decoder2d(lowering="fast", shuffle_first=True)
     variables = fast.init(jax.random.PRNGKey(1), rc, ec)
     base = fast.apply(variables, rc, ec)
-    try:
-        decoders.set_shuffle_first(True)
-        reordered = fast.apply(variables, rc, ec)
-    finally:
-        decoders.set_shuffle_first(False)
+    reordered = reordering.apply(variables, rc, ec)
     np.testing.assert_allclose(reordered, base, rtol=2e-5, atol=2e-5)
 
 
