@@ -258,7 +258,15 @@ class RangeEncoder2dNoExpand(nn.Module):
 
 
 class EnvEncoder2dNoExpand(nn.Module):
-    """(B, L, 1, 1) column-image env encoder (reference models.py:352-394)."""
+    """(B, L, 1, 1) column-image env encoder (reference models.py:352-394).
+
+    Defect resolution (recorded in PARITY.md): the reference — a class
+    literally marked "Not available yet" — opens with
+    ``ReflectionPad2d(3)`` + 7x7 conv (models.py:363), which CRASHES on a
+    width-1 field (cannot reflect-pad width 1 by 3). Intent reconstruction
+    here: a (7,1) zero-padded conv — the column analogue of the other
+    NoExpand stages' (k,1) kernels; zero rather than reflect padding
+    because no width-1-compatible reflect interpretation exists."""
 
     dim: int = 16
     n_downsample: int = 2
