@@ -108,19 +108,25 @@ def save_checkpoint(model_dir: str, epoch: int, state, tag: str = "") -> str:
 
 
 def restore_checkpoint(model_dir: str, epoch: int, state, tag: str = "",
-                       migrate: bool = False):
+                       migrate="auto"):
     """Restore into the structure of ``state`` (a freshly created one).
 
-    ``migrate=True`` restores a pre-rename checkpoint (ROADMAP.md item 0:
-    the round-2/3 ``Dense_N/kernel`` -> ``w{j}`` etc. refactors) by mapping
-    the old param tree onto the current names (training/migrate.py). The
-    optimizer state is NOT migrated — it is keyed to the old tree — so the
-    returned state keeps its freshly initialized ``opt_state``; step and
-    params (and batch stats, when present) carry over.
+    ``migrate`` handles pre-rename checkpoints (ROADMAP.md item 0: the
+    round-2/3 ``Dense_N/kernel`` -> ``w{j}`` etc. refactors) by mapping
+    the old param tree onto the current names (training/migrate.py):
+    ``True`` forces the migration path, ``False`` is strict-only, and the
+    default ``"auto"`` tries the strict restore first and falls back to
+    migration when the on-disk tree does not match — so every CLI resume
+    and ``Predictor.from_checkpoint`` transparently accepts old-format
+    checkpoints. The optimizer state is NOT migrated — it is keyed to the
+    old tree — so a migrated state keeps its freshly initialized
+    ``opt_state``; step and params (and batch stats, when present) carry
+    over.
     """
     path = _ckpt_path(model_dir, epoch, tag)
     ckptr = _checkpointer()
-    if migrate:
+
+    def _migrated():
         from iinsvae_tpu.training.migrate import migrate_params
 
         raw = ckptr.restore(path)
@@ -131,9 +137,20 @@ def restore_checkpoint(model_dir: str, epoch: int, state, tag: str = "",
         return state.replace(
             step=raw["step"], params=params, batch_stats=batch_stats,
         )
-    template = jax.tree.map(ocp.utils.to_shape_dtype_struct, _state_payload(state)) \
-        if hasattr(ocp.utils, "to_shape_dtype_struct") else _state_payload(state)
-    restored = ckptr.restore(path, template)
+
+    if migrate is True:
+        return _migrated()
+    try:
+        template = jax.tree.map(ocp.utils.to_shape_dtype_struct, _state_payload(state)) \
+            if hasattr(ocp.utils, "to_shape_dtype_struct") else _state_payload(state)
+        restored = ckptr.restore(path, template)
+    except Exception:
+        if migrate != "auto" or not os.path.exists(path):
+            raise
+        out = _migrated()
+        print(f"[checkpoint] {path}: pre-rename param tree detected -> "
+              "migrated (training/migrate.py); optimizer state reset")
+        return out
     return state.replace(
         step=restored["step"],
         params=restored["params"],

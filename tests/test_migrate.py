@@ -153,3 +153,35 @@ def test_migrate_params_missing_key_raises():
     del old["classifier"]["classifier"]["Dense_3"]
     with pytest.raises(ValueError, match="missing"):
         migrate_params(old, state.params)
+
+
+def test_auto_migrate_on_strict_mismatch(tmp_path, capsys):
+    """Default restore_checkpoint (migrate='auto') must transparently
+    accept an old-format checkpoint — the path every CLI resume and
+    Predictor.from_checkpoint takes."""
+    model = IInsVAE(cir_len=L, num_classes=5)
+    state = _state(model)
+    old_params = _oldify_semi1d(state.params, np.random.RandomState(5))
+    ckptr = ocp.StandardCheckpointer()
+    path = str(tmp_path / "m" / "epoch_3")
+    ckptr.save(path, {
+        "step": np.asarray(300, np.int32),
+        "params": old_params,
+        "batch_stats": {},
+        "opt_state": {"mu": old_params, "nu": old_params},
+    }, force=True)
+    ckptr.wait_until_finished()
+
+    fresh = _state(model)
+    restored = restore_checkpoint(str(tmp_path / "m"), 3, fresh)
+    assert int(restored.step) == 300
+    assert "migrated" in capsys.readouterr().out
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_auto_migrate_missing_checkpoint_still_raises(tmp_path):
+    model = IInsVAE(cir_len=L, num_classes=5)
+    fresh = _state(model)
+    with pytest.raises(Exception):
+        restore_checkpoint(str(tmp_path / "nothing"), 9, fresh)
