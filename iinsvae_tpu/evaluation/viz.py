@@ -23,8 +23,11 @@ from iinsvae_tpu.data.zenodo import label_dictionary  # noqa: E402
 
 def cdf_curve(err_arr: np.ndarray, num: int = 200):
     """Histogram-accumulated CDF of |err| (reference utils.py:100-121).
-    Returns (x, cdf) arrays of length num+1."""
+    Returns (x, cdf) arrays of length num+1. Non-finite residuals (a
+    diverged model) are dropped rather than crashing np.bincount with
+    negative cast indices."""
     data = np.abs(np.asarray(err_arr)).reshape(-1)
+    data = data[np.isfinite(data)]
     vmax = float(data.max()) if data.size else 1.0
     if vmax == 0.0:
         vmax = 1.0
@@ -51,6 +54,11 @@ def reduce_latents(latents: np.ndarray, method: str = "auto"):
     latents = np.asarray(latents).reshape(latents.shape[0], -1)
     if latents.shape[1] <= 2:
         return latents, "identity"
+    if not np.isfinite(latents).all():
+        # a diverged model produces NaN/inf latents; the eval must still
+        # complete and report its (NaN) metrics instead of dying inside
+        # the SVD ("SVD did not converge")
+        return np.zeros((latents.shape[0], 2), latents.dtype), "degenerate"
     if method in ("auto", "umap"):
         try:
             import umap  # type: ignore
@@ -61,7 +69,10 @@ def reduce_latents(latents: np.ndarray, method: str = "auto"):
                 raise
     # PCA fallback
     centered = latents - latents.mean(axis=0)
-    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    try:
+        _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    except np.linalg.LinAlgError:
+        return np.zeros((latents.shape[0], 2), latents.dtype), "degenerate"
     return centered @ vt[:2].T, "pca"
 
 

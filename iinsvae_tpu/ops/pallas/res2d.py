@@ -141,10 +141,20 @@ def _conv3(x32, w3, wc_lanes):
 
 
 def _in_stats(d, s_mean, bc):
-    """d (R, W*C) -> (xn, mu_b, rr_b) with mu/rsqrt broadcast to lanes."""
+    """d (R, W*C) -> (xn, mu_b, rr_b) with mu/rsqrt broadcast to lanes.
+
+    v is computed two-pass (E[x^2] - E[x]^2), which can go NEGATIVE by
+    catastrophic cancellation for near-constant segments — and the sign
+    of the error depends on the compiler's accumulation order, so a
+    backend update can flip a previously-fine (sample, channel) into
+    rsqrt(negative) = NaN (observed on the v5e remote-compile update of
+    2026-08-20: 19/500 decoder rows went NaN at epoch 0 on data that had
+    trained fine; BASELINE.md round-4 log). Clamp at 0 before the eps —
+    exact for true variances, and the only change for cancelled ones is
+    NaN -> the composed lowering's answer."""
     mu = _seg8_sum(jnp.dot(d, s_mean, preferred_element_type=jnp.float32))
     q = _seg8_sum(jnp.dot(d * d, s_mean, preferred_element_type=jnp.float32))
-    v = q - mu * mu
+    v = jnp.maximum(q - mu * mu, 0.0)
     rr = jax.lax.rsqrt(v + _EPS)
     mu_b = jnp.dot(mu, bc, preferred_element_type=jnp.float32)
     rr_b = jnp.dot(rr, bc, preferred_element_type=jnp.float32)

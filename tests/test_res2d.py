@@ -132,3 +132,23 @@ def test_gridded_batch_matches_single_chunk(data, monkeypatch):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_whole), np.asarray(g_ref),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_res2d_near_constant_segment_finite():
+    """Variance via E[x^2]-E[x]^2 cancels catastrophically on large
+    near-constant segments; the sign of the error is accumulation-order-
+    dependent, so a backend update can flip it negative -> rsqrt NaN
+    (observed on the 2026-08-20 v5e backend update, BASELINE.md round-4
+    log). The clamp in _in_stats must keep the kernel finite."""
+    import numpy as np
+    import jax.numpy as jnp
+    from iinsvae_tpu.ops.pallas import res2d
+
+    rng = np.random.default_rng(0)
+    x = np.asarray(rng.standard_normal((4, 8, 8, 64)), np.float32)
+    x[1, :, :, 7] = 100.0   # exactly constant, large magnitude
+    x[2, :, :, :] = 50.0    # whole sample constant
+    k1 = np.asarray(rng.standard_normal((3, 3, 64, 64)) * 0.02, np.float32)
+    k2 = np.asarray(rng.standard_normal((3, 3, 64, 64)) * 0.02, np.float32)
+    y = res2d.fused_res_block_2d(jnp.asarray(x), jnp.asarray(k1), jnp.asarray(k2), norm="in")
+    assert bool(jnp.isfinite(y).all())

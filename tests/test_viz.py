@@ -70,3 +70,14 @@ def test_visualize_latents_records_method(tmp_path):
     )
     assert os.path.exists(out)
     assert out.endswith("latent_env_epoch3.png")
+
+
+def test_reduce_latents_nonfinite_degenerate():
+    # a diverged model's NaN latents must not crash the eval (round-4
+    # finding: np.linalg.svd raised "SVD did not converge" and killed the
+    # CLI at the final evaluation)
+    lat = np.full((10, 8), np.nan, dtype=np.float32)
+    coords, method = reduce_latents(lat)
+    assert method == "degenerate"
+    assert coords.shape == (10, 2)
+    assert np.isfinite(coords).all()
