@@ -89,7 +89,8 @@ def main(argv=None, cfg: Config | None = None):
 
         state, train, run_epoch = mh.make_mh_training(
             mh.make_global_mesh(),
-            make_semi_grads_fn(model, cfg.supervision_rate, mask_mode=cfg.mask_mode),
+            make_semi_grads_fn(model, cfg.supervision_rate, mask_mode=cfg.mask_mode,
+                               kl_free_bits=cfg.kl_free_bits),
             state, train, cfg.batch_size,
         )
         logger.info(
@@ -110,7 +111,8 @@ def main(argv=None, cfg: Config | None = None):
         )
         train_step = make_dp_train_step(
             make_semi_grads_fn(
-                model, cfg.supervision_rate, mask_mode=cfg.mask_mode
+                model, cfg.supervision_rate, mask_mode=cfg.mask_mode,
+                kl_free_bits=cfg.kl_free_bits,
             ),
             mesh, jit=False,
         )
@@ -118,7 +120,8 @@ def main(argv=None, cfg: Config | None = None):
         logger.info(f"[parallel] shard_map DP over {cfg.n_devices} devices")
     else:
         train_step = make_semi_train_step(
-            model, supervision_rate=cfg.supervision_rate, mask_mode=cfg.mask_mode
+            model, supervision_rate=cfg.supervision_rate, mask_mode=cfg.mask_mode,
+            kl_free_bits=cfg.kl_free_bits,
         )
     if not distributed:
         run_epoch = make_epoch_runner(train_step, cfg.batch_size)

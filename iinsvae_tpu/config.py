@@ -73,6 +73,7 @@ class Config:
     # semi (train_semi.py:34)
     supervision_rate: float = 0.1
     mask_mode: str = "sample"  # sample (intent) | batch (reference literal)
+    kl_free_bits: float = 0.0  # per-dim KL floor; 0 = reference-exact
     profile_dir: str = ""  # jax.profiler trace dir ('' = off)
     # runtime (new)
     n_devices: int = 1  # data-parallel shards (1 = single device)
@@ -158,6 +159,10 @@ def add_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
       help="checkpoint GC: keep only the newest N epoch checkpoints (plus the best); <=0 keeps all")
     a("--supervision_rate", type=float, default=d.supervision_rate)
     a("--mask_mode", type=str, default=d.mask_mode, choices=["sample", "batch"])
+    a("--kl_free_bits", type=float, default=d.kl_free_bits,
+      help="floor each env-latent dim's KL at this value (free bits; 0 = "
+           "reference-exact plain KL). Opt-in stabilizer for the measured "
+           "1-D KL-collapse seed variance (BASELINE.md round 4)")
     a("--profile_dir", type=str, default=d.profile_dir, help="write a jax.profiler trace here")
     a("--n_devices", type=int, default=d.n_devices,
       help="shard training batches over N local devices (shard_map DP over a "

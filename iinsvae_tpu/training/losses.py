@@ -57,11 +57,21 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray, w: Optional[jnp.ndar
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
-def env_kl_per_sample(env_code: jnp.ndarray) -> jnp.ndarray:
-    """Per-sample KL from the concatenated (mu, log_sigma) code."""
+def env_kl_per_sample(env_code: jnp.ndarray, free_bits: float = 0.0) -> jnp.ndarray:
+    """Per-sample KL from the concatenated (mu, log_sigma) code.
+
+    ``free_bits`` > 0 floors each latent DIMENSION's KL at that value
+    (Kingma et al. free bits): dimensions below the floor contribute a
+    constant, so the optimizer stops squeezing them toward the prior —
+    an opt-in stabilizer for the measured 1-D KL-collapse stall (seed
+    variance band 0.57-0.80 env accuracy, BASELINE.md round 4). Default 0
+    is the reference's plain KL (train_semi.py:200)."""
     half = env_code.shape[-1] // 2
     mu, ls = env_code[..., :half], env_code[..., half:]
-    return 0.5 * jnp.sum(jnp.exp(2.0 * ls) + mu**2 - 1.0 - 2.0 * ls, axis=-1)
+    kl_d = 0.5 * (jnp.exp(2.0 * ls) + mu**2 - 1.0 - 2.0 * ls)
+    if free_bits > 0.0:
+        kl_d = jnp.maximum(kl_d, free_bits)
+    return jnp.sum(kl_d, axis=-1)
 
 
 def semi_loss(
@@ -75,6 +85,7 @@ def semi_loss(
     lambda_kl: float = LAMBDA_KL,
     lambda_res: float = LAMBDA_RES,
     lambda_env: float = LAMBDA_ENV,
+    kl_free_bits: float = 0.0,
 ):
     """Semi-supervised objective with on-device per-sample label masking.
 
@@ -83,7 +94,8 @@ def semi_loss(
     """
     w = sample_weight if sample_weight is not None else jnp.ones(cir.shape[0], cir.dtype)
     loss_ae = lambda_ae * l1(cir, outputs["recon"], w)
-    loss_kl = lambda_kl * _wmean(env_kl_per_sample(outputs["env_code"])[:, None], w)
+    loss_kl = lambda_kl * _wmean(
+        env_kl_per_sample(outputs["env_code"], kl_free_bits)[:, None], w)
     sup_w = w * sup_mask.reshape(-1)
     loss_res = lambda_res * l1(err, outputs["err_est"], sup_w)
     loss_env = lambda_env * cross_entropy(outputs["logits"], label, sup_w)

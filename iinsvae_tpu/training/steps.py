@@ -89,6 +89,7 @@ def make_semi_train_step(
     supervision_rate: float = 1.0,
     lambda_res: float = 10.0,
     mask_mode: str = "sample",
+    kl_free_bits: float = 0.0,
 ) -> Callable:
     """Semi-supervised step on IInsVAE (reference train_semi.py:163-268).
 
@@ -104,7 +105,8 @@ def make_semi_train_step(
     defect, not a behavior — intentionally not replicated.
     """
     assert mask_mode in ("sample", "batch")
-    grads_fn = make_semi_grads_fn(model, supervision_rate, lambda_res, mask_mode)
+    grads_fn = make_semi_grads_fn(
+        model, supervision_rate, lambda_res, mask_mode, kl_free_bits)
 
     def step(state: TrainState, batch: dict, key: jax.Array):
         grads, metrics, mut = grads_fn(state, batch, key)
@@ -120,6 +122,7 @@ def make_semi_grads_fn(
     supervision_rate: float = 1.0,
     lambda_res: float = 10.0,
     mask_mode: str = "sample",
+    kl_free_bits: float = 0.0,
 ) -> Callable:
     """grads_fn(state, batch, key) -> (grads, metrics, mutated collections).
 
@@ -150,7 +153,8 @@ def make_semi_grads_fn(
                 rngs={"dropout": k_drop},
             )
             total, aux = semi_loss(
-                out, cir, err, label, sup_mask, weight, lambda_res=lambda_res
+                out, cir, err, label, sup_mask, weight, lambda_res=lambda_res,
+                kl_free_bits=kl_free_bits,
             )
             return total, (aux, mut, out)
 
