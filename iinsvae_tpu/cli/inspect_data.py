@@ -30,9 +30,15 @@ def verify_data_main(cfg: Config) -> int:
         report = verify_zenodo(cfg.data_root)
         print_report("zenodo %s" % cfg.data_root, report)
     else:
-        # the ewine tree lives beside the zenodo pickle's data root
-        base = cfg.data_root if os.path.isdir(cfg.data_root) \
-            else "./data/data_ewine"
+        # --data_root points at the zenodo pickle by default; for ewine,
+        # verify the directory the user names, falling back to the
+        # conventional ./data/data_ewine ONLY when --data_root was left at
+        # its (zenodo) default — never silently substitute a different
+        # tree for one the user asked about
+        if cfg.data_root == Config().data_root:
+            base = "./data/data_ewine"
+        else:
+            base = cfg.data_root
         report = verify_ewine(base)
         print_report("ewine %s" % base, report)
     return 0 if report["ok"] else 1

@@ -89,19 +89,30 @@ def verify_zenodo(path: str) -> dict:
 
     n = len(frame)
     stats["rows"] = n
-    lens = frame["CIR"].map(len).to_numpy()
+    if n == 0:
+        errors.append("dataset frame has 0 rows")
+        return {"ok": False, "errors": errors, "warnings": warnings, "stats": stats}
+    lens = frame["CIR"].map(
+        lambda c: len(c) if hasattr(c, "__len__") else -1
+    ).to_numpy()
     bad_len = int((lens != CIR_LEN).sum())
     if bad_len:
         errors.append(
             f"{bad_len}/{n} CIR rows are not {CIR_LEN} taps "
-            f"(lengths seen: {sorted(set(lens.tolist()))[:5]})"
+            f"(lengths seen: {sorted(set(lens.tolist()))[:5]}; -1 = not a sequence)"
         )
 
-    err = np.asarray(frame["Error"].to_numpy(), dtype=np.float64)
+    try:
+        err = np.asarray(frame["Error"].to_numpy(), dtype=np.float64)
+    except (TypeError, ValueError) as e:
+        errors.append(f"Error column is not numeric: {e}")
+        return {"ok": False, "errors": errors, "warnings": warnings, "stats": stats}
     n_nonfinite = int((~np.isfinite(err)).sum())
     if n_nonfinite:
         errors.append(f"{n_nonfinite}/{n} non-finite Error values")
-    stats["error_range_m"] = (float(np.nanmin(err)), float(np.nanmax(err)))
+    if np.isfinite(err).any():
+        stats["error_range_m"] = (float(np.nanmin(err[np.isfinite(err)])),
+                                  float(np.nanmax(err[np.isfinite(err)])))
 
     rooms = np.asarray(frame["Room"].to_numpy())
     bad_rooms = sorted(set(rooms.tolist()) - {0, 1, 2, 3, 4})
@@ -150,9 +161,11 @@ def verify_zenodo(path: str) -> dict:
 
 
 def verify_ewine(base_dir: str) -> dict:
-    """Validate an eWine CSV tree (reference data_tools.py:14-109 geometry:
-    >= 18 header columns + raw CIR taps; 152-tap window must fit at
-    first-path index + 15)."""
+    """Validate an eWine CSV tree against the PRODUCTION loader's contract
+    (data/ewine.py::extract_reg_arrays): rows need >= max(18, 152) columns;
+    the 152-tap window is read at ABSOLUTE column first-path(col 8) + 15,
+    clamped into [0, cols-152] — the verifier flags exactly the rows where
+    that clamp is not the identity."""
     import pandas as pd
 
     errors, warnings, stats = [], [], {}
@@ -184,19 +197,29 @@ def verify_ewine(base_dir: str) -> dict:
         except Exception as e:  # noqa: BLE001
             errors.append(f"{path}: unreadable ({type(e).__name__}: {e})")
             continue
-        arr = df.to_numpy()
+        arr = df.to_numpy(dtype=np.float64)
         rows += arr.shape[0]
-        if arr.shape[1] < 18 + 152:
+        cols = arr.shape[1]
+        if cols < max(18, 152):
             errors.append(
-                f"{path}: {arr.shape[1]} columns < 18 header + 152 CIR taps"
+                f"{path}: {cols} columns < {max(18, 152)} "
+                "(metadata + one 152-tap CIR window — data/ewine.py)"
             )
             continue
-        fp = arr[:, 8].astype(np.int64)
-        overflow = int((fp + 15 + 152 > arr.shape[1] - 18).sum())
-        if overflow:
+        fp = arr[:, 8]
+        n_bad_fp = int((~np.isfinite(fp)).sum())
+        if n_bad_fp:
             warnings.append(
-                f"{path}: {overflow}/{arr.shape[0]} rows where the 152-tap "
-                "window at first-path+15 overruns the taps (loader clamps)"
+                f"{path}: {n_bad_fp}/{arr.shape[0]} non-finite first-path "
+                "indices (loader reads those windows from column 15)"
+            )
+        start = np.where(np.isfinite(fp), fp, 0.0) + 15.0
+        clamped = int((start != np.clip(start, 0, cols - 152)).sum())
+        if clamped:
+            warnings.append(
+                f"{path}: {clamped}/{arr.shape[0]} rows where the 152-tap "
+                f"window at first-path+15 falls outside [0, {cols - 152}] "
+                "(loader clamps it into the row)"
             )
         if (arr[:, 17] == 0).any():
             errors.append(f"{path}: zero max-amplitude rows (divide-by-zero)")

@@ -217,6 +217,10 @@ class Decoder2d(nn.Module):
 
     @nn.compact
     def __call__(self, range_code, env_code):
+        if self.lowering not in ("fast", "dense"):
+            raise ValueError(
+                f"Decoder2d lowering must be 'fast' or 'dense', "
+                f"got {self.lowering!r}")
         from iinsvae_tpu.models.layers import conv_normal_init, _bias_uniform_init
         from iinsvae_tpu.ops import colgroups as cg
         from iinsvae_tpu.ops import subpixel as sp
@@ -407,6 +411,10 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, range_code, env_code):
+        if self.lowering not in (None, "fast", "dense"):
+            raise ValueError(
+                f"Decoder lowering must be 'fast' or 'dense', "
+                f"got {self.lowering!r}")
         if self.conv_type == 1:
             return Decoder1d(
                 self.dim, self.n_residual, self.n_upsample, self.in_dim,

@@ -425,6 +425,10 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, sample_key: Optional[jax.Array] = None):
+        if self.lowering not in (None, "grouped", "dense"):
+            raise ValueError(
+                f"Encoder lowering must be 'grouped' or 'dense', "
+                f"got {self.lowering!r}")
         b, l = x.shape[0], x.shape[-1]
         if self.conv_type == 1:
             xin = x.reshape(b, l, 1)

@@ -144,10 +144,16 @@ def restore_checkpoint(model_dir: str, epoch: int, state, tag: str = "",
         template = jax.tree.map(ocp.utils.to_shape_dtype_struct, _state_payload(state)) \
             if hasattr(ocp.utils, "to_shape_dtype_struct") else _state_payload(state)
         restored = ckptr.restore(path, template)
-    except Exception:
+    except Exception as strict_err:
         if migrate != "auto" or not os.path.exists(path):
             raise
-        out = _migrated()
+        try:
+            out = _migrated()
+        except Exception:
+            # the strict failure was NOT a pre-rename tree (corruption,
+            # version mismatch, wrong model config, ...) — surface the
+            # ORIGINAL error, not a misleading migration report
+            raise strict_err
         print(f"[checkpoint] {path}: pre-rename param tree detected -> "
               "migrated (training/migrate.py); optimizer state reset")
         return out

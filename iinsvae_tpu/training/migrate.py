@@ -80,7 +80,13 @@ def _conv_indices(keys_in_subtree):
 
 
 def _map_subtree(kind: str, flat: dict) -> dict:
-    """flat: {relative_path_tuple: leaf} within one leaf-module subtree."""
+    """flat: {relative_path_tuple: leaf} within one leaf-module subtree.
+
+    NOTE: only the LINEAR heads and the encoder/decoder stacks were
+    renamed by the refactors; conv-type heads (RestorerConv1d etc.) kept
+    their flax auto-names. migrate_params therefore applies this mapping
+    per-subtree ONLY when the mapped keys match the current template
+    better than pass-through does (see _pick below)."""
     out = {}
     convs = _conv_indices(flat)
     lo = convs[0] if convs else None
@@ -167,7 +173,18 @@ def migrate_params(old_params, template_params):
 
     new_flat = {}
     for (prefix, kind), sub in groups.items():
-        for rel, leaf in _map_subtree(kind, sub).items():
+        # per-subtree choice: rename map vs pass-through, scored against
+        # the template's keys under this prefix. Conv-type heads (and any
+        # module the refactors never renamed) keep their flax auto-names,
+        # so pass-through matches them exactly while the rename map would
+        # mangle them (e.g. a conv restorer's Conv1d_0 is NOT an
+        # in_kernel).
+        tmpl_keys = {p[len(prefix):] for p in tmpl_flat if p[:len(prefix)] == prefix}
+        mapped = _map_subtree(kind, sub)
+        passthrough_score = len(set(sub) & tmpl_keys)
+        mapped_score = len(set(mapped) & tmpl_keys)
+        chosen = mapped if mapped_score >= passthrough_score else sub
+        for rel, leaf in chosen.items():
             new_flat[prefix + rel] = leaf
 
     errors = []

@@ -185,3 +185,57 @@ def test_auto_migrate_missing_checkpoint_still_raises(tmp_path):
     fresh = _state(model)
     with pytest.raises(Exception):
         restore_checkpoint(str(tmp_path / "nothing"), 9, fresh)
+
+
+def test_migrate_passes_through_conv_heads():
+    """Conv-type heads were never renamed (they keep flax auto-names
+    Conv1d_N / Dense_N / BatchNormEps_0); the migration must pass their
+    subtrees through untouched instead of mangling Conv1d_0 -> in_kernel
+    (round-4 review finding)."""
+    model = IInsVAE(cir_len=L, num_classes=5,
+                    restorer_type="Conv1d", classifier_type="Conv1d")
+    state = _state(model)
+    # synthesize an old tree: encoder/decoder inverse-renamed, heads as-is
+    p = jax.tree.map(np.asarray, state.params)
+    rng = np.random.RandomState(7)
+    linear_like = _oldify_semi1d(
+        _state(IInsVAE(cir_len=L, num_classes=5)).params, rng)
+    old = {"encoder": linear_like["encoder"],
+           "decoder": linear_like["decoder"],
+           "restorer": p["restorer"],
+           "classifier": p["classifier"]}
+    # rebuild the encoder/decoder old trees from THIS model's params so
+    # shapes line up (heads differ, enc/dec identical across head types)
+    full_old = _oldify_semi1d(state.params, np.random.RandomState(8))
+    old["encoder"], old["decoder"] = full_old["encoder"], full_old["decoder"]
+
+    migrated = migrate_params(old, state.params)
+    flat_a = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    flat_b = {jax.tree_util.keystr(k): v
+              for k, v in jax.tree_util.tree_flatten_with_path(migrated)[0]}
+    for k, va in flat_a:
+        ks = jax.tree_util.keystr(k)
+        if "restorer" in ks or "classifier" in ks:
+            np.testing.assert_array_equal(np.asarray(va), np.asarray(flat_b[ks]))
+
+
+def test_auto_migrate_corruption_raises_original_error(tmp_path):
+    """A strict-restore failure that is NOT a pre-rename tree must surface
+    the original error, not a misleading migration report."""
+    model = IInsVAE(cir_len=L, num_classes=5)
+    fresh = _state(model)
+    # current-format checkpoint for a DIFFERENT head geometry: strict
+    # restore fails on shapes, and migration cannot fix it either
+    other = _state(IInsVAE(cir_len=L, num_classes=7))
+    ckptr = ocp.StandardCheckpointer()
+    path = str(tmp_path / "c" / "epoch_1")
+    ckptr.save(path, {
+        "step": np.asarray(1, np.int32),
+        "params": jax.tree.map(np.asarray, other.params),
+        "batch_stats": {},
+        "opt_state": {},
+    }, force=True)
+    ckptr.wait_until_finished()
+    with pytest.raises(Exception) as exc:
+        restore_checkpoint(str(tmp_path / "c"), 1, fresh)
+    assert "migration failed" not in str(exc.value)

@@ -105,3 +105,56 @@ def test_cli_verify_data_exit_codes(fixture_pkl, tmp_path, capsys):
     with pytest.raises(SystemExit) as exc:
         main(["--verify_data", "--data_root", str(tmp_path / "absent.pkl")])
     assert exc.value.code == 1
+
+
+def test_zenodo_empty_frame_is_error(tmp_path):
+    frame = synthetic_zenodo_frame(n=10, seed=0).iloc[0:0]
+    path = tmp_path / "dataset.pkl"
+    frame.to_pickle(path)
+    report = verify_zenodo(str(path))
+    assert not report["ok"]
+    assert any("0 rows" in e for e in report["errors"])
+
+
+def test_zenodo_scalar_cir_cell_is_error(tmp_path):
+    frame = synthetic_zenodo_frame(n=10, seed=0)
+    frame["CIR"] = [1.0] * 10  # scalars, not sequences
+    path = tmp_path / "dataset.pkl"
+    frame.to_pickle(path)
+    report = verify_zenodo(str(path))
+    assert not report["ok"]
+    assert any("157 taps" in e for e in report["errors"])
+
+
+def test_ewine_verifier_matches_loader_contract(tmp_path):
+    """The verifier must accept exactly what data/ewine.py's loader
+    accepts: >= 152 columns, window at ABSOLUTE column fp+15 clamped into
+    [0, cols-152] (round-4 review finding: the old check was off by the
+    18 header columns)."""
+    import pandas as pd
+    from iinsvae_tpu.data.ewine import extract_reg_arrays
+
+    # 160 columns: fewer than 18+152 but valid for the loader
+    rng = np.random.default_rng(0)
+    arr = np.abs(rng.normal(size=(6, 160))) + 0.1
+    arr[:, 8] = 0.0   # window [15, 167) fits in 160? 15+152=167 > 160 -> clamped
+    arr[:3, 8] = -15.0  # window starts at 0 exactly: identity clamp
+    path = tmp_path / "d1" / "t.csv"
+    path.parent.mkdir(parents=True)
+    pd.DataFrame(arr).to_csv(path, index=False)
+
+    cir, err, label = extract_reg_arrays(arr)  # loader accepts it
+    assert cir.shape == (6, 152)
+    report = verify_ewine(str(tmp_path))
+    assert report["ok"], report["errors"]  # verifier must too
+    # the 3 rows with fp=0 get clamped (start 15 > cols-152=8) -> warning
+    assert any("clamps" in w for w in report["warnings"])
+
+
+def test_cli_verify_data_ewine_explicit_root_not_substituted(tmp_path):
+    from iinsvae_tpu.cli.inspect_data import main
+
+    with pytest.raises(SystemExit) as exc:
+        main(["--verify_data", "--dataset_name", "ewine",
+              "--data_root", str(tmp_path / "not_there")])
+    assert exc.value.code == 1
