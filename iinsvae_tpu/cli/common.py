@@ -52,7 +52,8 @@ def resolve_data(cfg: Config):
                 )
             from iinsvae_tpu.data.synthetic import ensure_dataset
 
-            root = ensure_dataset(root, n=cfg.synthetic_n, seed=cfg.seed)
+            root = ensure_dataset(root, n=cfg.synthetic_n, seed=cfg.seed,
+                                  version=getattr(cfg, "fixture_version", 2))
             print(f"[data] dataset.pkl absent -> synthetic fixture at {root}")
     else:
         root = [p for p in EWINE_DEFAULT_PATHS if os.path.exists(p)]

@@ -95,6 +95,9 @@ class Config:
     allow_synthetic: bool = True  # fall back to the synthetic fixture
     data_cache: bool = True  # mmap binary cache of the assembled split
     synthetic_n: int = 8192
+    # synthetic fixture generator version (data/synthetic.py): v2 adds
+    # learnable material signatures; v1 kept for pre-round-5 continuity
+    fixture_version: int = 2
 
     # ------- derived -------
     @property
@@ -183,6 +186,9 @@ def add_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     a("--no_synthetic", action="store_true", help="fail instead of falling back to the synthetic fixture")
     a("--no_data_cache", action="store_true", help="disable the mmap binary dataset cache")
     a("--synthetic_n", type=int, default=d.synthetic_n)
+    a("--fixture_version", type=int, default=d.fixture_version, choices=[1, 2],
+      help="synthetic fixture generation: 2 (default) adds scale-invariant "
+           "material resonance signatures; 1 is the pre-round-5 generator")
     return parser
 
 

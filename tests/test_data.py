@@ -153,3 +153,53 @@ def test_pipeline_at_reference_scale(tmp_path):
     # tolerant of a contended single-core CI box (observed >30 s only when
     # a TPU compile job shared the core)
     assert dt < 60.0, f"pipeline took {dt:.1f}s"
+
+
+def test_fixture_v2_material_signal():
+    """Fixture v2 (round 5): the material signature must (a) survive
+    per-sample normalization — the model's first LayerNorm destroys
+    absolute amplitude, which is what made v1 signal-limited at the 0.40
+    plurality share (BASELINE.md round 4) — and (b) be absent in v1, so
+    the two generators remain distinct ablation levers."""
+    import numpy as np
+
+    accs = {}
+    for v in (1, 2):
+        cir, _, label, _ = synthetic_arrays(n=4000, seed=0, option="paper", version=v)
+        x = (cir - cir.mean(1, keepdims=True)) / (cir.std(1, keepdims=True) + 1e-8)
+        fx = np.abs(np.fft.rfft(x, axis=1))
+        y = label.ravel().astype(int)
+        k = int(0.8 * len(y))
+        # nearest-class-centroid probe in FFT space: fast, deterministic
+        cents = np.stack([fx[:k][y[:k] == c].mean(0) for c in np.unique(y)])
+        pred = np.argmin(
+            ((fx[k:][:, None, :] - cents[None]) ** 2).sum(-1), axis=1
+        )
+        accs[v] = float((np.unique(y)[pred] == y[k:]).mean())
+    plur = 0.45  # generous plurality-share bound for this draw
+    assert accs[1] < 0.55, f"v1 unexpectedly separable: {accs}"
+    assert accs[2] > plur + 0.15, f"v2 signal too weak: {accs}"
+
+
+def test_fixture_v1_bit_stable(tmp_path):
+    """version=1 must keep producing the pre-round-5 fixture bit-for-bit
+    (continuity with BASELINE rounds 1-4 rows)."""
+    import numpy as np
+
+    a = synthetic_zenodo_frame(n=64, seed=3, version=1)
+    b = synthetic_zenodo_frame(n=64, seed=3, version=1)
+    assert np.allclose(np.vstack(a["CIR"].to_numpy()), np.vstack(b["CIR"].to_numpy()))
+    # v2 differs from v1 on NLOS rows (the signature) for the same seed
+    c = synthetic_zenodo_frame(n=64, seed=3, version=2)
+    assert not np.allclose(
+        np.vstack(a["CIR"].to_numpy()), np.vstack(c["CIR"].to_numpy())
+    )
+
+
+def test_ensure_dataset_versioned_filenames(tmp_path):
+    from iinsvae_tpu.data.synthetic import ensure_dataset
+
+    root = str(tmp_path / "dataset.pkl")
+    p1 = ensure_dataset(root, n=64, seed=0, version=1)
+    p2 = ensure_dataset(root, n=64, seed=0, version=2)
+    assert p1 != p2 and "_v2_" in p2 and "_v2_" not in p1
