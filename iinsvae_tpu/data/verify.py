@@ -179,31 +179,64 @@ def verify_ewine(base_dir: str) -> dict:
             "warnings": [],
             "stats": {},
         }
+    # The production loaders read ONLY this path set (cli/common.py
+    # EWINE_DEFAULT_PATHS; directory entries walked top-level only,
+    # data/ewine.py:34-40). Schema violations there are hard errors;
+    # any other CSV in the tree (real eWine downloads ship other-schema
+    # measurement files) is checked advisorily and reported as a warning
+    # — the loader never touches it (round-4 advisor finding).
+    loader_relpaths = (
+        os.path.join("dataset1", "tag_room0.csv"),
+        os.path.join("dataset1", "tag_room1.csv"),
+        os.path.join("dataset2", "tag_room0.csv"),
+        os.path.join("dataset2", "tag_room1"),
+    )
+    loader_set = set()
+    for rel in loader_relpaths:
+        p = os.path.normpath(os.path.join(base_dir, rel))
+        if os.path.isdir(p):
+            for f in sorted(os.listdir(p)):
+                if f.endswith(".csv"):
+                    loader_set.add(os.path.normpath(os.path.join(p, f)))
+        elif os.path.isfile(p):
+            loader_set.add(p)
+
     csvs = sorted(
-        os.path.join(r, f)
+        os.path.normpath(os.path.join(r, f))
         for r, _, files in os.walk(base_dir)
         for f in files
         if f.endswith(".csv")
     )
     stats["csv_files"] = len(csvs)
+    stats["loader_csv_files"] = len(loader_set)
     if not csvs:
         errors.append(f"no .csv files under {base_dir}")
         return {"ok": False, "errors": errors, "warnings": warnings, "stats": stats}
+    if not loader_set:
+        warnings.append(
+            f"no CSVs at the loader's default paths under {base_dir} "
+            "(dataset{1,2}/tag_room*) — the CLIs read only those; the files "
+            "found elsewhere were checked advisorily"
+        )
 
     rows = 0
     for path in csvs:
+        sink = errors if (not loader_set or path in loader_set) else warnings
+        note = "" if sink is errors else " (outside loader paths — ignored by the loader)"
+        # everything per-file inside the guard: a CSV with non-numeric
+        # cells must produce a report entry, not crash --verify_data
         try:
             df = pd.read_csv(path)
+            arr = df.to_numpy(dtype=np.float64)
         except Exception as e:  # noqa: BLE001
-            errors.append(f"{path}: unreadable ({type(e).__name__}: {e})")
+            sink.append(f"{path}: unreadable ({type(e).__name__}: {e}){note}")
             continue
-        arr = df.to_numpy(dtype=np.float64)
         rows += arr.shape[0]
         cols = arr.shape[1]
         if cols < max(18, 152):
-            errors.append(
+            sink.append(
                 f"{path}: {cols} columns < {max(18, 152)} "
-                "(metadata + one 152-tap CIR window — data/ewine.py)"
+                f"(metadata + one 152-tap CIR window — data/ewine.py){note}"
             )
             continue
         fp = arr[:, 8]
@@ -222,7 +255,7 @@ def verify_ewine(base_dir: str) -> dict:
                 "(loader clamps it into the row)"
             )
         if (arr[:, 17] == 0).any():
-            errors.append(f"{path}: zero max-amplitude rows (divide-by-zero)")
+            sink.append(f"{path}: zero max-amplitude rows (divide-by-zero){note}")
     stats["rows"] = rows
     if rows != 31489:
         warnings.append(

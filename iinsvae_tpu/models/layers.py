@@ -18,18 +18,6 @@ from iinsvae_tpu.ops import conv as conv_ops
 from iinsvae_tpu.ops import dense_conv as dense_ops
 from iinsvae_tpu.ops import norms as norm_ops
 
-# Global Conv1d lowering: 'dense' (one MXU matmul per layer, ops/dense_conv.py)
-# or 'im2col' (reference lowering, ops/conv.py). Exact same math — tested
-# against each other; 'dense' is ~2x faster end-to-end on v5e at these sizes.
-_CONV1D_IMPL = "dense"
-
-
-def set_conv1d_impl(impl: str) -> None:
-    global _CONV1D_IMPL
-    assert impl in ("dense", "im2col")
-    _CONV1D_IMPL = impl
-
-
 def conv_normal_init(std: float = 0.02):
     def init(key, shape, dtype=jnp.float32):
         return std * jax.random.normal(key, shape, dtype)
@@ -77,7 +65,12 @@ class Conv1d(nn.Module):
     pad_mode: str = "zero"
     use_bias: bool = True
     kernel_init: Optional[Callable] = None
-    impl: Optional[str] = None  # None -> module-global default
+    # Conv1d lowering, a construction-time field (no trace-time globals —
+    # a setter called after tracing would silently keep the old lowering):
+    # 'dense' (one MXU matmul per layer, ops/dense_conv.py) or 'im2col'
+    # (reference lowering, ops/conv.py). Exact same math — parity-tested;
+    # 'dense' is ~2x faster end-to-end on v5e at these sizes.
+    impl: str = "dense"
 
     @nn.compact
     def __call__(self, x):
@@ -91,8 +84,7 @@ class Conv1d(nn.Module):
             bias = self.param(
                 "bias", _bias_uniform_init(c_in * self.kernel_size), (self.features,)
             )
-        impl = self.impl or _CONV1D_IMPL
-        if impl == "dense":
+        if self.impl == "dense":
             return dense_ops.conv1d_dense(
                 x, kernel, bias, stride=self.stride, padding=self.padding,
                 pad_mode=self.pad_mode,

@@ -9,11 +9,15 @@ checkpoints named ``epoch_N`` instead of ``*_N.pth``.
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
+
+logger = logging.getLogger(__name__)
 
 
 def semi_model_dir(cfg) -> str:
@@ -134,8 +138,28 @@ def restore_checkpoint(model_dir: str, epoch: int, state, tag: str = "",
         batch_stats = state.batch_stats
         if raw.get("batch_stats") and jax.tree.leaves(state.batch_stats):
             batch_stats = migrate_params(raw["batch_stats"], state.batch_stats)
+        # The old opt_state is keyed to the old tree and cannot be migrated,
+        # so moments restart fresh — but the optax count MUST carry over:
+        # the LambdaLR schedule reads it (optim.py:27), and the resume path
+        # (cli/common.py init_state) keeps its offset at 0 precisely
+        # because restore normally restores the count. A zero count would
+        # silently resume a migrated epoch-N run at the undecayed epoch-0
+        # LR (round-4 advisor finding).
+        opt_state = state.opt_state
+        try:
+            import optax.tree_utils as otu
+
+            opt_state = otu.tree_set(
+                opt_state, count=jnp.asarray(raw["step"], jnp.int32)
+            )
+        except Exception:
+            logger.warning(
+                "migrated restore: could not seed the optimizer count; the "
+                "LR schedule will restart from epoch 0"
+            )
         return state.replace(
             step=raw["step"], params=params, batch_stats=batch_stats,
+            opt_state=opt_state,
         )
 
     if migrate is True:
@@ -154,8 +178,14 @@ def restore_checkpoint(model_dir: str, epoch: int, state, tag: str = "",
             # version mismatch, wrong model config, ...) — surface the
             # ORIGINAL error, not a misleading migration report
             raise strict_err
-        print(f"[checkpoint] {path}: pre-rename param tree detected -> "
-              "migrated (training/migrate.py); optimizer state reset")
+        # module logger, not print: under jax.distributed every rank
+        # restores, and embedders (serving Predictor.from_checkpoint) need
+        # this routed/capturable like the rest of the training logs
+        logger.warning(
+            "%s: pre-rename param tree detected -> migrated "
+            "(training/migrate.py); optimizer moments reset, LR-schedule "
+            "count carried over", path,
+        )
         return out
     return state.replace(
         step=restored["step"],

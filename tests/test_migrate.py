@@ -116,6 +116,14 @@ def test_migrate_params_roundtrip_semi1d(tmp_path):
     restored = restore_checkpoint(str(tmp_path / "old"), 7, fresh, migrate=True)
 
     assert int(restored.step) == 700
+    # the optax count must carry the restored step: the LambdaLR schedule
+    # reads it, and the resume path keeps its offset at 0 on the assumption
+    # that restore provides the count (round-4 advisor finding — a zero
+    # count resumed migrated runs at the undecayed epoch-0 LR)
+    import optax.tree_utils as otu
+
+    counts = [int(v) for _, v in otu.tree_get_all_with_path(restored.opt_state, "count")]
+    assert counts and all(c == 700 for c in counts), counts
     flat_a = jax.tree_util.tree_flatten_with_path(state.params)[0]
     flat_b = jax.tree_util.tree_flatten_with_path(restored.params)[0]
     assert len(flat_a) == len(flat_b)

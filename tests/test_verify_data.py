@@ -158,3 +158,37 @@ def test_cli_verify_data_ewine_explicit_root_not_substituted(tmp_path):
         main(["--verify_data", "--dataset_name", "ewine",
               "--data_root", str(tmp_path / "not_there")])
     assert exc.value.code == 1
+
+
+def test_ewine_unrelated_csv_is_warning_not_error(tmp_path):
+    """Round-4 advisor finding: a real eWine download carries other-schema
+    measurement CSVs the loader never reads — those must not fail the
+    report when the loader's own path set is present and clean."""
+    synthetic_ewine_csv(str(tmp_path / "dataset1" / "tag_room0.csv"), n=20, seed=0)
+    pd.DataFrame(np.zeros((3, 7))).to_csv(tmp_path / "other_schema.csv", index=False)
+    report = verify_ewine(str(tmp_path))
+    assert report["ok"], report["errors"]
+    assert any("outside loader paths" in w for w in report["warnings"])
+
+
+def test_ewine_nonnumeric_csv_reported_not_fatal(tmp_path):
+    """Round-4 advisor finding: non-numeric cells must produce a report
+    entry, not an uncaught ValueError crashing --verify_data."""
+    p = tmp_path / "dataset1" / "tag_room0.csv"
+    p.parent.mkdir(parents=True)
+    with open(p, "w") as f:
+        f.write("a,b,c\n1,notanumber,3\n")
+    report = verify_ewine(str(tmp_path))
+    assert not report["ok"]
+    assert any("unreadable" in e for e in report["errors"])
+
+
+def test_ewine_bad_loader_path_is_error(tmp_path):
+    """A schema violation AT a loader-consumed path stays a hard error."""
+    synthetic_ewine_csv(str(tmp_path / "dataset1" / "tag_room1.csv"), n=20, seed=0)
+    pd.DataFrame(np.zeros((5, 30))).to_csv(
+        tmp_path / "dataset1" / "tag_room0.csv", index=False
+    )
+    report = verify_ewine(str(tmp_path))
+    assert not report["ok"]
+    assert any("columns" in e and "tag_room0" in e for e in report["errors"])
