@@ -6,7 +6,7 @@
 # (data/synthetic.py v2). Sequential: one TPU chip.
 set -u
 cd /root/repo
-COMMON="--n_epochs 400 --batch_size 500 --synthetic_n 10000 --seed 0 --dataset_env paper"
+COMMON="--n_epochs 400 --batch_size 500 --synthetic_n 10000 --seed 0 --dataset_env paper --supervision_rate 1.0"
 R5=saved_results_r5
 M5=saved_models_r5
 
@@ -31,6 +31,6 @@ run joint_full        run.py $COMMON --mode full --net_ablation loop
 # flagship 1-D + --kl_free_bits 0.5, seeds 0-3
 for s in 0 1 2 3; do
   run rf_fb_s$s train_semi.py --n_epochs 400 --batch_size 500 --synthetic_n 10000 \
-    --dataset_env room_full --mode full --seed $s --kl_free_bits 0.5
+    --dataset_env room_full --mode full --seed $s --supervision_rate 1.0 --kl_free_bits 0.5
 done
 echo "=== MATRIX COMPLETE ==="

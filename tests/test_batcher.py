@@ -25,7 +25,12 @@ def _exercise(server: BatchServer, n_clients: int = 32):
     results = [None] * n_clients
 
     def client(i):
-        results[i] = server.submit(cirs[i])
+        # generous timeout: this is a CORRECTNESS test (every client gets
+        # its own result), not a latency test — on a contended single-core
+        # CI box the whole process can be descheduled for tens of seconds
+        # (round-4 full-suite flake), and the batcher's deadline flush
+        # guarantees progress regardless of wall time
+        results[i] = server.submit(cirs[i], timeout_s=300.0)
 
     threads = [threading.Thread(target=client, args=(i,)) for i in range(n_clients)]
     for t in threads:
@@ -56,12 +61,15 @@ def test_partial_batch_flushes_on_deadline():
                      deadline_ms=20.0) as srv:
         x = np.full(L, 2.0)
         t0 = time.monotonic()
-        out = srv.submit(x, timeout_s=10.0)
+        out = srv.submit(x, timeout_s=60.0)
         dt = time.monotonic() - t0
         assert out is not None
         np.testing.assert_allclose(out[0], 2.0)
         assert out[1] == 2
-        assert dt < 5.0, f"deadline flush took {dt:.2f}s"
+        # the claim is the 20 ms deadline flush HAPPENED (a full-batch wait
+        # would hang to the submit timeout) — bound loosely so single-core
+        # suite contention can't flake it
+        assert dt < 30.0, f"deadline flush took {dt:.2f}s"
 
 
 def test_sequential_reuse_and_backpressure():
@@ -286,7 +294,7 @@ def test_request_larger_than_ring(tmp_path):
             n = 100  # > max_pending = 32
             cirs = np.random.default_rng(7).normal(size=(n, L))
             cirs[:, 0] = np.arange(n) % 5
-            err, label = socket_client_request(sock, cirs, timeout_s=30.0)
+            err, label = socket_client_request(sock, cirs, timeout_s=120.0)
             np.testing.assert_allclose(err, cirs.mean(axis=1), rtol=1e-12)
             np.testing.assert_array_equal(label, np.arange(n) % 5)
 
@@ -308,7 +316,7 @@ def test_oversized_concurrent_requests(tmp_path):
                 cirs = np.random.default_rng(11 + i).normal(size=(40, L))
                 cirs[:, 0] = i
                 outs[i] = (cirs, *socket_client_request(
-                    sock, cirs, timeout_s=30.0))
+                    sock, cirs, timeout_s=120.0))
 
             threads = [threading.Thread(target=client, args=(i,))
                        for i in range(4)]
