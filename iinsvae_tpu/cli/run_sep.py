@@ -99,8 +99,12 @@ def main(argv=None, cfg: Config | None = None):
     accuracy = float(np.mean(np.argmax(label_est, axis=1) == label_gt))
     rmse = float(np.sqrt(np.mean((err_est - err_gt) ** 2)))
     abs_err = float(np.mean(np.abs(err_est - err_gt)))
+    from iinsvae_tpu.evaluation.evaluate import add_plurality_share
+
+    sep_metrics = add_plurality_share({"accuracy": accuracy}, label_gt)
     logger.info(
-        f"[Sep-EM test] [accuracy: {accuracy:.6f}] [rmse: {rmse:.6f}] [abs: {abs_err:.6f}]"
+        f"[Sep-EM test] [accuracy: {accuracy:.6f}] [rmse: {rmse:.6f}] "
+        f"[abs: {abs_err:.6f}] [plurality_share: {sep_metrics['plurality_share']:.6f}]"
     )
 
     # hard-assignment ablation: err = mnet(cir, argmax_k p(k|cir)) — the

@@ -147,3 +147,15 @@ def test_top_level_api_surface():
         pass
     else:  # pragma: no cover
         raise AssertionError("missing-attribute must raise AttributeError")
+
+
+def test_plurality_share_flags_degenerate_head():
+    import numpy as np
+    from iinsvae_tpu.evaluation.evaluate import add_plurality_share
+
+    labels = np.array([0] * 6 + [1] * 3 + [2] * 1)
+    m = add_plurality_share({"accuracy": 0.60}, labels)
+    assert abs(m["plurality_share"] - 0.6) < 1e-9
+    assert m.get("env_head_degenerate") == 1.0  # acc == share -> degenerate
+    m2 = add_plurality_share({"accuracy": 0.75}, labels)
+    assert "env_head_degenerate" not in m2
