@@ -30,6 +30,11 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     add_args(parser)
     parser.add_argument("--net", type=str, default="semi", choices=["semi", "joint"])
+    parser.add_argument(
+        "--disentangle", action="store_true",
+        help="also run the disentanglement evaluation (env-code swap, prior "
+             "decode, range-code invariance — evaluation/disentangle.py; "
+             "semi net only)")
     args = parser.parse_args(argv)
     cfg = from_args(args)
 
@@ -71,6 +76,18 @@ def main(argv=None):
     )
     logger.info(f"[test epoch {epoch}] " + " ".join(
         f"[{k}: {v:.6f}]" for k, v in m.items() if isinstance(v, float)))
+    if args.disentangle:
+        if args.net != "semi":
+            raise SystemExit("--disentangle requires --net semi (the VAE path)")
+        from iinsvae_tpu.evaluation.disentangle import evaluate_disentanglement
+
+        dm = evaluate_disentanglement(
+            model, state, test_batch, eval_bs,
+            result_path=result_path, seed=cfg.seed,
+        )
+        logger.info("[disentangle] " + " ".join(
+            f"[{k}: {v:.6f}]" for k, v in dm.items() if isinstance(v, float)))
+        m["disentangle"] = dm
     return m
 
 

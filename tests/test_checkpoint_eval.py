@@ -112,3 +112,37 @@ def test_bf16_step_finite():
     step = jax.jit(make_semi_train_step(model, 1.0))
     state, m = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_disentangle_eval_smoke(tmp_path):
+    """evaluate_disentanglement runs end-to-end on an untrained tiny model:
+    metric keys present, rates in [0,1], artifacts written."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from iinsvae_tpu.models import IInsVAE
+    from iinsvae_tpu.training.optim import make_optimizer
+    from iinsvae_tpu.training.state import create_train_state
+    from iinsvae_tpu.evaluation.disentangle import evaluate_disentanglement
+
+    model = IInsVAE(cir_len=157, num_classes=4, style_dim=8)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, jnp.ones((2, 157)))
+    state = create_train_state(
+        model, variables, make_optimizer(n_epochs=2, decay_start_epoch=1))
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "cir": rng.normal(size=(64, 157)).astype(np.float32),
+        "err": np.abs(rng.normal(size=(64, 1))).astype(np.float32),
+        "label": rng.integers(0, 4, size=(64, 1)).astype(np.float32),
+    }
+    m = evaluate_disentanglement(
+        model, state, batch, batch_size=32, result_path=str(tmp_path))
+    for k in ("swap_recon_delta", "env_transfer_rate", "env_keep_rate",
+              "range_drift_self", "range_drift_swap", "prior_class_coverage"):
+        assert k in m, k
+    assert 0.0 <= m["env_transfer_rate"] <= 1.0
+    assert 0.0 <= m["prior_class_coverage"] <= 1.0 + 1e-9
+    import os
+    assert os.path.exists(m["artifacts"]["env_swap_png"])
+    assert os.path.exists(m["artifacts"]["prior_decode_png"])
