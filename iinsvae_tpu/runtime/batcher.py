@@ -370,8 +370,24 @@ def _bind_server(lib):
         lib.iins_server_port.restype = ctypes.c_int32
         lib.iins_server_port.argtypes = [ctypes.c_void_p]
         lib.iins_server_stop.argtypes = [ctypes.c_void_p]
+        lib.iins_server_set_max_rows.argtypes = [ctypes.c_void_p, _i64]
+        lib.iins_server_set_recv_timeout_ms.argtypes = [ctypes.c_void_p, _i64]
+        lib.iins_server_rejected.restype = _i64
+        lib.iins_server_rejected.argtypes = [ctypes.c_void_p]
         lib._server_bound = True
     return lib
+
+
+def _configure_front(lib, h, max_request_rows, recv_timeout_ms):
+    """Protocol bounds (runtime_native/iinsvae_server.cc): cap on rows per
+    frame (default 1<<20; oversized/garbage headers are rejected, counted,
+    and the connection closed) and a per-read receive timeout (default
+    5 min; a peer stalling mid-frame is disconnected, not left pinning a
+    handler thread)."""
+    if max_request_rows is not None:
+        lib.iins_server_set_max_rows(h, int(max_request_rows))
+    if recv_timeout_ms is not None:
+        lib.iins_server_set_recv_timeout_ms(h, int(recv_timeout_ms))
 
 
 class SocketFront:
@@ -383,7 +399,9 @@ class SocketFront:
     fallback — the fallback serving path is BatchServer.submit
     in-process)."""
 
-    def __init__(self, server: BatchServer, sock_path: str):
+    def __init__(self, server: BatchServer, sock_path: str,
+                 max_request_rows: int | None = None,
+                 recv_timeout_ms: int | None = None):
         if not server.native:
             raise RuntimeError("SocketFront requires the native batcher plane")
         self._lib = _bind_server(server._lib)
@@ -392,6 +410,13 @@ class SocketFront:
             server._h, sock_path.encode(), server.cir_len))
         if not self._h:
             raise OSError(f"iins_server_start failed on {sock_path}")
+        _configure_front(self._lib, self._h, max_request_rows, recv_timeout_ms)
+
+    @property
+    def rejected_frames(self) -> int:
+        """Bad/oversized request headers rejected so far (also the 10th
+        field of the wire stats op — socket_stats_request)."""
+        return int(self._lib.iins_server_rejected(self._h))
 
     def stop(self):
         if self._h:
@@ -411,7 +436,9 @@ class TcpFront:
     Binds all interfaces — front with TLS termination for untrusted
     networks."""
 
-    def __init__(self, server: BatchServer, port: int = 0):
+    def __init__(self, server: BatchServer, port: int = 0,
+                 max_request_rows: int | None = None,
+                 recv_timeout_ms: int | None = None):
         if not server.native:
             raise RuntimeError("TcpFront requires the native batcher plane")
         self._lib = _bind_server(server._lib)
@@ -420,6 +447,11 @@ class TcpFront:
         if not self._h:
             raise OSError(f"iins_server_start_tcp failed on port {port}")
         self.port = int(self._lib.iins_server_port(self._h))
+        _configure_front(self._lib, self._h, max_request_rows, recv_timeout_ms)
+
+    @property
+    def rejected_frames(self) -> int:
+        return int(self._lib.iins_server_rejected(self._h))
 
     def stop(self):
         if self._h:
@@ -467,10 +499,11 @@ def socket_client_request(addr, cirs: np.ndarray, timeout_s: float = 60.0,
 
 
 def socket_stats_request(addr, timeout_s: float = 10.0) -> dict:
-    """Query a SocketFront/TcpFront server's batcher counters over the
-    wire (header n = -1, response = the 9-int64 snapshot). Same dict as
-    ``BatchServer.stats()`` — lets external operators watch occupancy and
-    queue latency without in-process access."""
+    """Query a SocketFront/TcpFront server's counters over the wire
+    (header n = -1, response = 9 batcher int64s + 1 server int64:
+    rejected_frames). Same dict as ``BatchServer.stats()`` plus
+    ``rejected_frames`` — lets external operators watch occupancy, queue
+    latency, and protocol abuse without in-process access."""
     import socket
     import struct
 
@@ -480,12 +513,15 @@ def socket_stats_request(addr, timeout_s: float = 10.0) -> dict:
         s.connect(addr)
         s.sendall(struct.pack("<q", -1))
         buf = b""
-        while len(buf) < 9 * 8:
-            chunk = s.recv(9 * 8 - len(buf))
+        while len(buf) < 10 * 8:
+            chunk = s.recv(10 * 8 - len(buf))
             if not chunk:
                 raise IOError("server closed mid-stats-response")
             buf += chunk
-    return _derive_stats(np.frombuffer(buf, dtype="<i8"))
+    raw = np.frombuffer(buf, dtype="<i8")
+    out = _derive_stats(raw[:9])
+    out["rejected_frames"] = int(raw[9])
+    return out
 
 
 def serve_predictor(predictor, with_probs: bool = False,

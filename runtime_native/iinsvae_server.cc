@@ -36,6 +36,7 @@
 #include <netinet/tcp.h>
 #include <set>
 #include <sys/socket.h>
+#include <sys/time.h>
 #include <sys/un.h>
 #include <thread>
 #include <unistd.h>
@@ -56,6 +57,13 @@ struct Server {
   void* batcher;
   int64_t cir_len;
   int listen_fd = -1;
+  // protocol bounds (iins_server_set_max_rows / _set_recv_timeout_ms):
+  // a length-prefixed protocol dies by unbounded lengths and by peers
+  // that stall mid-frame — cap the row count per request and time out
+  // blocking reads so a silent client can't pin a handler thread forever
+  std::atomic<int64_t> max_request_rows{1 << 20};
+  std::atomic<int64_t> recv_timeout_ms{300000};  // 5 min default
+  std::atomic<int64_t> rejected_frames{0};  // bad/oversized headers
   std::atomic<bool> running{true};
   std::thread acceptor;
   std::mutex mu;
@@ -90,6 +98,18 @@ void handle_conn(Server* s, int fd) {
   // per-row responses: defeat Nagle on TCP (harmless no-op on unix fds)
   int one = 1;
   setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
+  // bound every blocking read: a peer stalling mid-frame (or connecting
+  // and never sending) gets its connection closed at the timeout instead
+  // of holding a handler thread + ring tickets forever
+  {
+    int64_t ms = s->recv_timeout_ms.load();
+    if (ms > 0) {
+      timeval tv{};
+      tv.tv_sec = static_cast<time_t>(ms / 1000);
+      tv.tv_usec = static_cast<suseconds_t>((ms % 1000) * 1000);
+      setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+    }
+  }
   const int64_t nx = iins_batcher_n_extra(s->batcher);
   // outstanding-window bound: well under the ring so rows from many
   // concurrent connections still share it, and a single huge request
@@ -127,11 +147,18 @@ void handle_conn(Server* s, int fd) {
 
   while (s->running.load()) {
     int64_t n = 0;
-    if (!read_full(fd, &n, sizeof(n)) || n == 0 || n < -1 || n > (1 << 20))
+    if (!read_full(fd, &n, sizeof(n))) break;  // disconnect/idle timeout
+    if (n == 0 || n < -1 || n > s->max_request_rows.load()) {
+      // reject, count, close — never allocate or wait on a hostile length
+      s->rejected_frames.fetch_add(1);
       break;
+    }
     if (n == -1) {  // stats query: reply with the counter snapshot
-      int64_t st[9];
+      // 9 batcher counters + 1 server counter (rejected_frames) — keep
+      // socket_client/stats parsing (runtime/batcher.py) in lockstep
+      int64_t st[10];
       iins_batcher_stats(s->batcher, st);
+      st[9] = s->rejected_frames.load();
       if (!write_full(fd, st, sizeof(st))) break;
       continue;
     }
@@ -243,6 +270,24 @@ int32_t iins_server_port(void* h) {
       || addr.sin_family != AF_INET)
     return -1;
   return static_cast<int32_t>(ntohs(addr.sin_port));
+}
+
+// Cap on rows per request frame (default 1<<20). Headers above the cap
+// (or <= 0 other than the stats op) are rejected: counted in
+// iins_server_rejected and the connection is closed.
+void iins_server_set_max_rows(void* h, int64_t rows) {
+  if (rows > 0) static_cast<Server*>(h)->max_request_rows.store(rows);
+}
+
+// Per-read receive timeout for NEW connections (ms; <= 0 disables).
+// Applied via SO_RCVTIMEO at accept time.
+void iins_server_set_recv_timeout_ms(void* h, int64_t ms) {
+  static_cast<Server*>(h)->recv_timeout_ms.store(ms);
+}
+
+// Frames rejected so far (bad or oversized headers).
+int64_t iins_server_rejected(void* h) {
+  return static_cast<Server*>(h)->rejected_frames.load();
 }
 
 void iins_server_stop(void* h) {

@@ -256,3 +256,87 @@ def test_server_survives_disconnect_mid_request(tmp_path):
             # slots forever: stats' reclaim/timeout counters account for
             # them eventually, but serving keeps working regardless
             _well_formed_roundtrip(sock)
+
+
+def test_server_counts_rejected_frames_and_enforces_max_rows(tmp_path):
+    """VERDICT round-4 weak 5: an enforced, configurable maximum request
+    size — oversized headers are rejected, COUNTED (in-process property and
+    wire stats op), and the server keeps serving."""
+    from iinsvae_tpu.runtime.batcher import (
+        BatchServer, SocketFront, socket_stats_request)
+
+    sock = str(tmp_path / "iins.sock")
+    with BatchServer(_compute, cir_len=L, batch_size=8, deadline_ms=5.0) as srv:
+        if not srv.native:
+            pytest.skip("native plane unavailable")
+        with SocketFront(srv, sock, max_request_rows=4) as front:
+            _raw_send(sock, struct.pack("<q", 5))       # over the cap
+            _raw_send(sock, struct.pack("<q", 0))       # zero
+            _raw_send(sock, struct.pack("<q", -(1 << 40)))  # garbage negative
+            _well_formed_roundtrip(sock)                 # still serving
+            assert front.rejected_frames == 3
+            st = socket_stats_request(sock)
+            assert st["rejected_frames"] == 3
+
+
+def test_server_random_bytes_fuzz(tmp_path):
+    """Random-bytes fuzz on BOTH fronts (unix + TCP): whatever garbage a
+    client writes, the server must neither hang nor die — a well-formed
+    request must succeed after every fuzz burst. Deterministic seed."""
+    from iinsvae_tpu.runtime.batcher import (
+        BatchServer, SocketFront, TcpFront, socket_client_request)
+
+    rng = np.random.default_rng(1234)
+    sock = str(tmp_path / "iins.sock")
+    with BatchServer(_compute, cir_len=L, batch_size=8, deadline_ms=5.0) as srv:
+        if not srv.native:
+            pytest.skip("native plane unavailable")
+        with SocketFront(srv, sock, recv_timeout_ms=500) as uf, \
+             TcpFront(srv, 0, recv_timeout_ms=500) as tf:
+            addrs = [sock, ("127.0.0.1", tf.port)]
+            for trial in range(24):
+                addr = addrs[trial % 2]
+                family = socket.AF_UNIX if isinstance(addr, str) else socket.AF_INET
+                payload = rng.bytes(int(rng.integers(1, 2048)))
+                with socket.socket(family, socket.SOCK_STREAM) as s:
+                    s.settimeout(10.0)
+                    s.connect(addr)
+                    s.sendall(payload)
+                    # drain whatever comes back (a random header can be a
+                    # small positive n — the server may answer NaN rows or
+                    # close on the recv timeout; both are fine, hanging is
+                    # not)
+                    s.settimeout(3.0)
+                    try:
+                        while s.recv(4096):
+                            pass
+                    except (socket.timeout, ConnectionError):
+                        pass
+            # both planes still serve clean traffic afterwards
+            _well_formed_roundtrip(sock)
+            err, label = socket_client_request(
+                ("127.0.0.1", tf.port), np.full((2, L), 4.0), timeout_s=20.0)
+            np.testing.assert_allclose(err, 4.0)
+            assert (label == 4).all()
+
+
+def test_server_recv_timeout_frees_stalled_connection(tmp_path):
+    """A peer that sends a header then stalls mid-frame is disconnected at
+    the receive timeout instead of pinning a handler thread forever."""
+    import time
+    from iinsvae_tpu.runtime.batcher import BatchServer, SocketFront
+
+    sock = str(tmp_path / "iins.sock")
+    with BatchServer(_compute, cir_len=L, batch_size=8, deadline_ms=5.0) as srv:
+        if not srv.native:
+            pytest.skip("native plane unavailable")
+        with SocketFront(srv, sock, recv_timeout_ms=300):
+            with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+                s.settimeout(30.0)
+                s.connect(sock)
+                s.sendall(struct.pack("<q", 2))  # promise 2 rows, send none
+                t0 = time.monotonic()
+                # server must close us (recv -> b"") once the timeout fires
+                assert s.recv(1) == b""
+                assert time.monotonic() - t0 < 20.0
+            _well_formed_roundtrip(sock)
