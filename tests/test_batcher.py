@@ -424,6 +424,8 @@ def test_socket_stats_query(tmp_path):
             st = socket_stats_request(sock)
             assert st["submitted"] == 12
             assert st["rows_posted"] == 12
+            # wire stats = in-process batcher stats + server rejected count
+            assert st.pop("rejected_frames") == 0
             assert st == srv.stats()  # same snapshot either way
             # the stats connection accepts further data requests
             err2, _ = socket_client_request(sock, cirs[:3])
