@@ -48,16 +48,16 @@ CIR_LEN = 157
 # (obstacle_part groups, zenodo.py:44-50) share a frequency band: metal
 # {0: 0.34, 3: 0.36}, glass 0.22, wood 0.13 (plywood 0.14), plastic 0.06.
 _MATERIAL_SIG = {
-    0: (0.34, 10.0, 0.55),  # metal window
-    1: (0.22, 9.0, 0.40),   # glass plate
-    2: (0.13, 8.0, 0.35),   # wood door
-    3: (0.36, 11.0, 0.60),  # metal plate
-    4: (0.28, 9.0, 0.45),   # LCD TV
-    5: (0.10, 6.0, 0.25),   # cardboard box
-    6: (0.14, 7.0, 0.30),   # plywood plate
-    7: (0.06, 6.0, 0.30),   # plastic
-    8: (0.05, 4.0, 0.15),   # polystyrene plate
-    9: (0.18, 8.0, 0.50),   # wall
+    0: (0.34, 12.0, 0.95),  # metal window
+    1: (0.22, 10.0, 0.70),  # glass plate
+    2: (0.13, 9.0, 0.60),   # wood door
+    3: (0.36, 13.0, 1.00),  # metal plate
+    4: (0.28, 10.0, 0.75),  # LCD TV
+    5: (0.10, 7.0, 0.45),   # cardboard box
+    6: (0.14, 8.0, 0.55),   # plywood plate
+    7: (0.06, 7.0, 0.50),   # plastic
+    8: (0.05, 5.0, 0.30),   # polystyrene plate
+    9: (0.18, 9.0, 0.80),   # wall
 }
 
 DEFAULT_FIXTURE_VERSION = 2
