@@ -203,3 +203,21 @@ def test_ensure_dataset_versioned_filenames(tmp_path):
     p1 = ensure_dataset(root, n=64, seed=0, version=1)
     p2 = ensure_dataset(root, n=64, seed=0, version=2)
     assert p1 != p2 and "_v2_" in p2 and "_v2_" not in p1
+
+
+def test_fixture_version_plumbs_through_cli(tmp_path, monkeypatch):
+    """--fixture_version reaches ensure_dataset through resolve_data."""
+    from iinsvae_tpu.config import parse
+    from iinsvae_tpu.cli.common import resolve_data
+
+    monkeypatch.chdir(tmp_path)
+    for v in (1, 2):
+        cfg = parse([
+            "--dataset_env", "nlos", "--synthetic_n", "128",
+            "--fixture_version", str(v), "--no_data_cache",
+            "--data_root", str(tmp_path / "dz" / "dataset.pkl"),
+        ])
+        train, test = resolve_data(cfg)
+        assert train[0].shape[1] == 157
+    names = sorted(p.name for p in (tmp_path / "dz").glob("*.pkl"))
+    assert any("_v2_" in n for n in names) and any("_v2_" not in n for n in names), names
