@@ -19,6 +19,7 @@ run() {
 }
 
 run semi_paper_fb_800   train_semi.py $COMMON --mode paper --kl_free_bits 0.5
+run semi_paper_800      train_semi.py $COMMON --mode paper
 run semi_paper_c2_800   train_semi.py $COMMON --mode paper --conv_type 2 --compute_dtype bfloat16
 run semi_paper_fb_torch_800 train_semi.py $COMMON --mode paper --kl_free_bits 0.5 --env_conv_init torch
 echo "=== EXTENDED COMPLETE ==="

@@ -53,6 +53,8 @@ def _load_batcher():
         lib.iins_batcher_stats.argtypes = [ctypes.c_void_p, _p_i64]
         lib.iins_batcher_n_extra.restype = _i64
         lib.iins_batcher_n_extra.argtypes = [ctypes.c_void_p]
+        lib.iins_batcher_set_reclaim_grace_ms.argtypes = [
+            ctypes.c_void_p, ctypes.c_double]
         lib._batcher_bound = True
     return lib
 
@@ -71,6 +73,12 @@ class _PyBatcher:
         self.oldest = None
         self.shutdown = False
         self.arrivals = {}  # ticket -> submit time (queue-latency stats)
+        self.done_at = {}   # ticket -> post time (grace-period reclaim)
+        self.abandoned = set()  # tickets whose wait() timed out
+        # a kDone result may only be stolen after this grace: its owner may
+        # merely not have been scheduled yet (same policy as the native
+        # plane's kReclaimGraceMs — round-5 dropped-result fix)
+        self.reclaim_grace_s = 60.0
         # same counter set/order as the native plane's iins_batcher_stats
         self.st = dict(submitted=0, batches=0, full_batches=0, rows=0,
                        posted=0, reclaimed=0, wait_timeouts=0, queue_ns=0)
@@ -80,14 +88,20 @@ class _PyBatcher:
         with self.cv:
             while (len(self.pending) + len(self.done) >= self.max_pending
                    and not self.shutdown):
-                if self.done:
-                    # reclaim the oldest uncollected result (its client
-                    # timed out) rather than deadlocking the ring — same
-                    # policy as the native plane
-                    self.done.pop(min(self.done))
+                now = time.monotonic()
+                stale = [t for t in self.done
+                         if now - self.done_at.get(t, now) > self.reclaim_grace_s]
+                if stale:
+                    # grace expired: the owner died between submit and
+                    # wait — drop its result so the ring cannot deadlock.
+                    # Younger results are NEVER stolen (their owner may
+                    # just not have been scheduled yet).
+                    t0 = min(stale)
+                    self.done.pop(t0)
+                    self.done_at.pop(t0, None)
                     self.st["reclaimed"] += 1
                     break
-                self.cv.wait()
+                self.cv.wait(1.0)
             if self.shutdown:
                 return -1
             t = self.next_ticket
@@ -130,12 +144,20 @@ class _PyBatcher:
             return ts, cirs
 
     def post(self, tickets, err, label, extra=None):
+        import time
         with self.cv:
             for i, (t, e, c) in enumerate(zip(tickets, err, label)):
+                if t in self.abandoned:
+                    # the owner's wait() already timed out — free the
+                    # slot instead of parking an uncollectable result
+                    self.abandoned.discard(t)
+                    self.st["reclaimed"] += 1
+                    continue
                 if extra is None:
                     self.done[t] = (float(e), int(c))
                 else:
                     self.done[t] = (float(e), int(c), np.array(extra[i]))
+                self.done_at[t] = time.monotonic()
                 self.st["posted"] += 1
             self.cv.notify_all()
 
@@ -146,12 +168,17 @@ class _PyBatcher:
             while ticket not in self.done and not self.shutdown:
                 left = until - time.monotonic()
                 if left <= 0:
+                    # mark abandoned so post() frees the slot instead of
+                    # parking a result nobody will collect (the loop
+                    # guard guarantees the result isn't already here)
+                    self.abandoned.add(ticket)
                     self.st["wait_timeouts"] += 1
                     return None
                 self.cv.wait(left)
             if self.shutdown:
                 return None
             res = self.done.pop(ticket)
+            self.done_at.pop(ticket, None)
             self.cv.notify_all()
             return res
 
@@ -194,7 +221,7 @@ class BatchServer:
     def __init__(self, compute_fn, cir_len: int,
                  batch_size: int = 64, max_pending: int = 1024,
                  deadline_ms: float = 5.0, prefer_native: bool = True,
-                 n_extra: int = 0):
+                 n_extra: int = 0, reclaim_grace_s: float = 60.0):
         fns = (list(compute_fn) if isinstance(compute_fn, (list, tuple))
                else [compute_fn])
         assert fns, "need at least one compute_fn"
@@ -209,10 +236,18 @@ class BatchServer:
                 ctypes.c_double(deadline_ms)))
             if not self._h:
                 raise ValueError("iins_batcher_create rejected the config")
+            # grace before an uncollected result's slot may be stolen by a
+            # submitter — a fresh result's owner may merely not have been
+            # scheduled yet (round-5 dropped-result fix); timed-out waiters
+            # free their slots explicitly, so this only covers clients
+            # that die between submit and wait
+            self._lib.iins_batcher_set_reclaim_grace_ms(
+                self._h, ctypes.c_double(reclaim_grace_s * 1e3))
             self._py = None
         else:
             self._h = None
             self._py = _PyBatcher(cir_len, batch_size, max_pending, deadline_ms)
+            self._py.reclaim_grace_s = reclaim_grace_s
         self._stop = threading.Event()
         self._workers = [
             threading.Thread(target=self._run, args=(fn,), daemon=True)

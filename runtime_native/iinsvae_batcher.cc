@@ -27,13 +27,17 @@ enum SlotState : int { kFree = 0, kPending = 1, kInFlight = 2, kDone = 3 };
 struct Slot {
   int64_t ticket = -1;
   int state = kFree;
+  bool abandoned = false;    // owner's wait() timed out; post() frees it
   std::vector<double> cir;   // request payload (cir_len)
   double err = 0.0;          // posted results
   int64_t label = -1;
   std::vector<double> extra; // optional richer payload (n_extra doubles:
                              // env-class probabilities, reconstruction, ...)
   Clock::time_point arrival; // submit time (queue-latency stats)
+  Clock::time_point done_at; // post time (grace-period reclaim)
 };
+
+
 
 struct Batcher {
   int64_t cir_len;
@@ -41,6 +45,14 @@ struct Batcher {
   int64_t batch_size;
   int64_t max_pending;       // slot-table capacity
   double deadline_ms;        // partial-batch flush deadline
+  // A kDone slot may only be stolen by a submitter after this grace: a
+  // result's owner may simply not have been SCHEDULED yet (GIL-starved
+  // client under load) — stealing the slot immediately silently dropped
+  // its result and the owner timed out later (round-5 fix). Abandonment
+  // is normally explicit (wait() timeout marks the slot; post() frees
+  // it), so this is only the backstop for clients that die between
+  // submit and wait. Configurable: iins_batcher_set_reclaim_grace_ms.
+  double reclaim_grace_ms = 60000.0;
 
   std::mutex mu;
   std::condition_variable pending_cv;  // worker waits: a batch is ready
@@ -146,17 +158,22 @@ int64_t iins_batcher_submit_wait(void* h, const double* cir, double wait_ms) {
     if (b->shutdown) return -1;
     int64_t t = b->next_ticket;
     Slot& s = b->slots[static_cast<size_t>(t % b->max_pending)];
-    if (s.state == kDone) {
-      // the owning client timed out and never collected — reclaim the
-      // slot (its result is dropped) so abandoned waits can't leak the
-      // ring into a permanent submit deadlock
+    if (s.state == kDone &&
+        std::chrono::duration<double, std::milli>(Clock::now() - s.done_at)
+                .count() > b->reclaim_grace_ms) {
+      // grace expired: the owner died between submit and wait — reclaim
+      // the slot (result dropped) so the ring cannot deadlock. Results
+      // younger than the grace are NEVER stolen: their owner may just not
+      // have been scheduled yet.
       s.state = kFree;
       s.ticket = -1;
+      s.abandoned = false;
       ++b->st_reclaimed;
     }
     if (s.state == kFree) {
       s.ticket = t;
       s.state = kPending;
+      s.abandoned = false;
       std::memcpy(s.cir.data(), cir,
                   sizeof(double) * static_cast<size_t>(b->cir_len));
       b->next_ticket = t + 1;
@@ -167,13 +184,14 @@ int64_t iins_batcher_submit_wait(void* h, const double* cir, double wait_ms) {
       if (b->n_pending >= b->batch_size) b->pending_cv.notify_one();
       return t;
     }
-    if (bounded) {
-      if (b->space_cv.wait_until(lk, until) == std::cv_status::timeout &&
-          Clock::now() >= until)
-        return -2;
-    } else {
-      b->space_cv.wait(lk);
-    }
+    if (bounded && Clock::now() >= until) return -2;
+    // sliced wait: a slot can become reclaimable by pure TIME PASSAGE
+    // (grace expiry on a kDone slot whose owner died) with nobody left
+    // to notify space_cv — an unbounded wait here deadlocked the ring
+    // (caught by test_abandoned_results_are_reclaimed). 100 ms slices
+    // bound that staleness; notifies still wake us immediately.
+    auto slice = Clock::now() + std::chrono::milliseconds(100);
+    b->space_cv.wait_until(lk, bounded && until < slice ? until : slice);
   }
 }
 
@@ -181,6 +199,14 @@ int64_t iins_batcher_submit_wait(void* h, const double* cir, double wait_ms) {
 // back-pressure); returns the ticket, or -1 on shutdown.
 int64_t iins_batcher_submit(void* h, const double* cir) {
   return iins_batcher_submit_wait(h, cir, -1.0);
+}
+
+// Grace before an uncollected kDone slot may be stolen by a submitter
+// (see Batcher::reclaim_grace_ms). ms <= 0 restores steal-on-sight.
+void iins_batcher_set_reclaim_grace_ms(void* h, double ms) {
+  auto* b = static_cast<Batcher*>(h);
+  std::lock_guard<std::mutex> lk(b->mu);
+  b->reclaim_grace_ms = ms;
 }
 
 // Slot-table capacity (the submit back-pressure bound).
@@ -251,12 +277,22 @@ void iins_batcher_post(void* h, const int64_t* tickets, const double* err,
     for (int64_t i = 0; i < n; ++i) {
       Slot* s = b->find(tickets[i]);
       if (s && s->state == kInFlight) {
+        if (s->abandoned) {
+          // the owner's wait() already timed out — free the slot now
+          // instead of parking a result nobody will collect
+          s->state = kFree;
+          s->ticket = -1;
+          s->abandoned = false;
+          ++b->st_reclaimed;
+          continue;
+        }
         s->err = err[i];
         s->label = label[i];
         if (b->n_extra > 0 && extra)
           std::memcpy(s->extra.data(), extra + i * b->n_extra,
                       sizeof(double) * static_cast<size_t>(b->n_extra));
         s->state = kDone;
+        s->done_at = Clock::now();
         ++b->st_posted;
       }
     }
@@ -282,19 +318,33 @@ int iins_batcher_wait(void* h, int64_t ticket, double* err, int64_t* label,
     if (b->shutdown) return -1;
     Slot* s = b->find(ticket);
     if (!s) return -1;
-    if (s->state == kDone) {
-      *err = s->err;
-      *label = s->label;
+    auto collect = [&](Slot* sl) {
+      *err = sl->err;
+      *label = sl->label;
       if (b->n_extra > 0 && extra_out)
-        std::memcpy(extra_out, s->extra.data(),
+        std::memcpy(extra_out, sl->extra.data(),
                     sizeof(double) * static_cast<size_t>(b->n_extra));
-      s->state = kFree;
-      s->ticket = -1;
+      sl->state = kFree;
+      sl->ticket = -1;
+      sl->abandoned = false;
       b->space_cv.notify_one();
+    };
+    if (s->state == kDone) {
+      collect(s);
       return 1;
     }
     if (b->done_cv.wait_until(lk, until) == std::cv_status::timeout &&
         Clock::now() >= until) {
+      // deadline passed: a result that raced in during the final wait
+      // slice is still collected (better late than dropped); otherwise
+      // mark the slot abandoned so post() frees it and submitters are
+      // not blocked behind a result nobody will collect
+      s = b->find(ticket);
+      if (s && s->state == kDone) {
+        collect(s);
+        return 1;
+      }
+      if (s) s->abandoned = true;
       ++b->st_wait_timeouts;
       return 0;
     }

@@ -147,8 +147,12 @@ def test_abandoned_results_are_reclaimed(prefer_native):
     lib = _load_batcher()
     if prefer_native and lib is None:
         pytest.skip("native plane unavailable")
+    # short reclaim grace: these tickets are deliberately never waited on
+    # (the owner-died case), so the test exercises the grace-expiry path
+    # without the 60 s production default
     with BatchServer(_compute, cir_len=L, batch_size=2, max_pending=4,
-                     deadline_ms=1.0, prefer_native=prefer_native) as srv:
+                     deadline_ms=1.0, prefer_native=prefer_native,
+                     reclaim_grace_s=0.2) as srv:
         # abandon max_pending results: submit with a timeout too short to
         # collect... instead drive the plane directly to guarantee the
         # abandonment: submit via the raw plane and never wait
@@ -393,11 +397,13 @@ def test_stats_sees_timeout_and_reclaim(prefer_native):
         out = srv.submit(np.zeros(L), timeout_s=0.05)
         assert out is None  # timed out while compute slept
         ev.set()
-        # wait for the worker to post the now-abandoned result
+        # the worker posts into the abandoned slot -> freed on the spot
+        # and counted as a reclaim (round-5 semantics: results are only
+        # dropped for waiters that already gave up, never for slow ones)
         deadline = time.monotonic() + 5.0
-        while srv.stats()["rows_posted"] < 1 and time.monotonic() < deadline:
+        while srv.stats()["reclaimed"] < 1 and time.monotonic() < deadline:
             time.sleep(0.01)
-        # the next submit must reclaim the abandoned slot and succeed
+        # the slot is free again: the next submit succeeds immediately
         out = srv.submit(np.full(L, 3.0), timeout_s=10.0)
         assert out is not None and out[1] == 3
         st = srv.stats()
@@ -514,3 +520,68 @@ def test_serve_predictor_multi_device():
         assert out is not None
         np.testing.assert_allclose(out[0], want.err_est[i, 0], atol=1e-5)
         assert out[1] == int(want.label[i])
+
+
+@pytest.mark.parametrize("prefer_native", [True, False])
+def test_slow_collector_keeps_its_result(prefer_native):
+    """Round-5 dropped-result fix: a client whose result is POSTED but who
+    has not yet been scheduled to collect it must still get it — the ring
+    may not steal a fresh kDone slot (the old reclaim-on-sight policy
+    silently dropped such results under load; the suite's 'client N timed
+    out' flake was this bug). Later submitters block until the owner
+    collects (or the 60 s grace expires), never corrupt its result."""
+    import time
+    import ctypes
+
+    if prefer_native and _load_batcher() is None:
+        pytest.skip("native plane unavailable")
+    with BatchServer(_compute, cir_len=L, batch_size=1, max_pending=2,
+                     deadline_ms=1.0, prefer_native=prefer_native) as srv:
+        a_cir = np.ascontiguousarray(np.full(L, 4.0))
+        if srv.native:
+            import numpy as _np
+            from iinsvae_tpu.runtime.batcher import _p_d
+
+            t_a = srv._lib.iins_batcher_submit(
+                srv._h, a_cir.ctypes.data_as(_p_d))
+        else:
+            t_a = srv._py.submit(a_cir)
+        assert t_a >= 0
+        # A's result gets computed and posted while A is "descheduled"
+        deadline = time.monotonic() + 10.0
+        while srv.stats()["rows_posted"] < 1 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert srv.stats()["rows_posted"] >= 1
+
+        # churn: two other clients wrap the 2-slot ring; the one landing
+        # on A's slot must BLOCK (not steal) until A collects
+        churn_done = []
+
+        def churn():
+            for v in (5.0, 6.0):
+                out = srv.submit(np.full(L, v), timeout_s=30.0)
+                churn_done.append(out)
+
+        th = threading.Thread(target=churn)
+        th.start()
+        time.sleep(0.3)  # give churn time to reach A's slot
+
+        # A finally collects: ITS result, intact
+        if srv.native:
+            err = ctypes.c_double(0.0)
+            label = ctypes.c_longlong(-1)
+            rc = srv._lib.iins_batcher_wait(
+                srv._h, t_a, ctypes.byref(err), ctypes.byref(label), None,
+                ctypes.c_double(10e3))
+            assert rc == 1, f"A lost its posted result (rc={rc})"
+            got = (err.value, label.value)
+        else:
+            got = srv._py.wait(t_a, 10.0)
+            assert got is not None, "A lost its posted result"
+        np.testing.assert_allclose(got[0], 4.0)
+        assert got[1] == 4
+
+        th.join(timeout=30.0)
+        assert not th.is_alive()
+        assert len(churn_done) == 2 and all(o is not None for o in churn_done)
+        assert srv.stats()["reclaimed"] == 0  # nothing was dropped
