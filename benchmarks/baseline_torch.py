@@ -305,7 +305,7 @@ def _load_shared_split(args):
 
     cfg = Config(
         dataset_env=args.env, synthetic_n=args.synthetic_n, seed=args.seed,
-        n_epochs=args.epochs,
+        n_epochs=args.epochs, mode=getattr(args, "mode", "full"),
     )
     return cfg, resolve_data(cfg)
 
@@ -545,6 +545,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=400)
     ap.add_argument("--synthetic_n", type=int, default=10000)
     ap.add_argument("--env", default="room_full")
+    ap.add_argument("--mode", default="full", choices=["full", "paper"],
+                    help="split mode (paper = hold out the medium room, "
+                         "reference dataset.py:37-56)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
