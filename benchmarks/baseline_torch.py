@@ -481,7 +481,7 @@ def train_fixture(args):
     net = SemiNet(cir_len=cir_tr.shape[1], num_classes=int(lab_tr_t.max()) + 1)
     net.apply(weights_init_normal)
     opt = torch.optim.Adam(net.parameters(), lr=1e-4, betas=(0.5, 0.999))
-    decay_start = 100
+    decay_start = getattr(args, "decay_epoch", 100)
     sched = torch.optim.lr_scheduler.LambdaLR(
         opt,
         lambda e: 1.0 - max(0, e - decay_start) / max(1, args.epochs - decay_start),
@@ -545,6 +545,8 @@ def main():
     ap.add_argument("--epochs", type=int, default=400)
     ap.add_argument("--synthetic_n", type=int, default=10000)
     ap.add_argument("--env", default="room_full")
+    ap.add_argument("--decay_epoch", type=int, default=100,
+                    help="LambdaLR decay start (reference train_semi.py:125)")
     ap.add_argument("--mode", default="full", choices=["full", "paper"],
                     help="split mode (paper = hold out the medium room, "
                          "reference dataset.py:37-56)")
